@@ -1,0 +1,133 @@
+"""Non-maximum suppression on TPU with static shapes.
+
+TPU-native replacement for torchvision's CUDA ``nms`` / ``batched_nms`` required by
+the reference's RPN proposal selection and ``fast_rcnn_inference``
+(SURVEY.md §2.6).  The implementation is the tiled exact-greedy algorithm used by
+TPU detection stacks: boxes are processed in score-sorted tiles; each tile is first
+suppressed by surviving earlier boxes (one [N, T] IoU pass on the VPU/MXU) and then
+self-suppressed to a fixed point.  This gives exact greedy-NMS results with only
+N/T sequential steps instead of N.
+
+All functions return fixed-size outputs (indices + validity mask).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..structures import boxes as box_ops
+
+_NEG_INF = -1e30
+
+
+def _pad_rows(x: jnp.ndarray, n: int, value=0.0) -> jnp.ndarray:
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, cfg, constant_values=value)
+
+
+def nms_sorted_mask(
+    sorted_boxes: jnp.ndarray,
+    iou_threshold: float,
+    tile_size: int = 256,
+) -> jnp.ndarray:
+    """Exact greedy NMS over boxes already sorted by score descending.
+
+    Boxes with zero area are treated as invalid (never kept, never suppress).
+    Returns a bool keep mask aligned with ``sorted_boxes``.
+    """
+    n = sorted_boxes.shape[0]
+    t = min(tile_size, n)
+    n_pad = ((n + t - 1) // t) * t
+    state = _pad_rows(sorted_boxes, n_pad)
+    num_tiles = n_pad // t
+    row_idx = jnp.arange(n_pad)
+
+    def outer(tile_i, state):
+        start = tile_i * t
+        tile = jax.lax.dynamic_slice(state, (start, 0), (t, 4))
+        # Cross-suppression: any surviving earlier box (suppressed boxes are
+        # zeroed, giving IoU 0) with IoU > thr kills boxes in this tile.
+        iou_prev = box_ops.pairwise_iou(state, tile)  # [n_pad, t]
+        earlier = (row_idx < start)[:, None]
+        dead = jnp.any(earlier & (iou_prev > iou_threshold), axis=0)
+        tile = jnp.where(dead[:, None], 0.0, tile)
+
+        # Self-suppression to a fixed point: within the tile, a live box kills all
+        # lower-scored boxes with IoU > thr; iterate until stable (chain depth).
+        iou_tile = box_ops.pairwise_iou(tile, tile)
+        tri = jnp.triu(jnp.ones((t, t), dtype=bool), k=1)  # i < j: i outranks j
+        supp = jnp.where(tri, iou_tile, 0.0) > iou_threshold
+        supp_f = supp.astype(jnp.float32)
+        alive0 = box_ops.nonempty(tile)
+
+        def cond(carry):
+            alive, prev, it = carry
+            return jnp.logical_and(it < t, jnp.any(alive != prev))
+
+        def body(carry):
+            alive, _, it = carry
+            hit = (alive.astype(jnp.float32) @ supp_f) > 0.0
+            return (alive0 & ~hit, alive, it + 1)
+
+        alive, _, _ = jax.lax.while_loop(
+            cond, body, (alive0, jnp.zeros_like(alive0), jnp.int32(0))
+        )
+        tile = jnp.where(alive[:, None], tile, 0.0)
+        return jax.lax.dynamic_update_slice(state, tile, (start, 0))
+
+    state = jax.lax.fori_loop(0, num_tiles, outer, state)
+    return box_ops.nonempty(state)[:n]
+
+
+@partial(jax.jit, static_argnames=("iou_threshold", "max_out", "tile_size"))
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    valid: Optional[jnp.ndarray] = None,
+    tile_size: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS. Returns (indices [max_out] into the input, valid [max_out]),
+    ordered by descending score."""
+    n = boxes.shape[0]
+    s = scores
+    if valid is not None:
+        s = jnp.where(valid, s, _NEG_INF)
+    order = jnp.argsort(-s)
+    sorted_boxes = jnp.take(boxes, order, axis=0)
+    sorted_valid = jnp.take(s, order) > _NEG_INF / 2
+    sorted_boxes = jnp.where(sorted_valid[:, None], sorted_boxes, 0.0)
+
+    keep_sorted = nms_sorted_mask(sorted_boxes, iou_threshold, tile_size) & sorted_valid
+
+    slot_key = jnp.where(keep_sorted, jnp.arange(n), n + 1)
+    take = jnp.argsort(slot_key)[:max_out]
+    out_valid = jnp.take(keep_sorted, take)
+    out_idx = jnp.take(order, take)
+    return out_idx.astype(jnp.int32), out_valid
+
+
+def batched_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    idxs: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    valid: Optional[jnp.ndarray] = None,
+    tile_size: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Category-aware NMS via the coordinate-offset trick (as in torchvision's
+    batched_nms used at /root/reference/modeling/roi_heads/fast_rcnn.py:461-468):
+    boxes of different categories never overlap after offsetting."""
+    max_coord = jnp.max(jnp.where(valid[:, None], boxes, 0.0) if valid is not None else boxes)
+    offsets = idxs.astype(boxes.dtype) * (max_coord + 1.0)
+    shifted = boxes + offsets[:, None]
+    return nms(shifted, scores, iou_threshold, max_out, valid=valid, tile_size=tile_size)
