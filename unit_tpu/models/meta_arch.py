@@ -1,0 +1,424 @@
+"""Meta-architectures: the weakly-supervised R-CNN family, TPU-native.
+
+Rebuild of /root/reference/modeling/meta_arch/rcnn.py: ``WeaklySupervisedRCNNNoMeta``
+(the default for all shipped configs, rcnn.py:431-542), the fine-tune variant
+behavior (WSROIHeadFineTune computes similarity during training, roi_heads.py:618),
+``train_only_weak`` routing (rcnn.py:433-491) and the weak-only ``WeakRCNN``.
+
+Design (SURVEY.md §7.1): one flax module owning all parametric pieces; the training
+step is a single pure function over (variables, batch, rng) with every per-image
+dynamic structure replaced by padded tensors + masks.  The two image streams
+(strong query + weak classifier) are both batched; per-step losses are fused into
+one XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..structures.instances import Detections, GTInstances, SampledProposals
+from ..ops import roi_align as roi_align_ops
+from ..ops import sampling as sampling_ops
+from . import fast_rcnn as frcnn
+from . import rpn as rpn_lib
+from . import similarity as sim_lib
+from . import weak_losses as weak_lib
+from .predictors import (
+    SupervisedPredictor,
+    WeakDetectorPredictor,
+    combine_cls_logits,
+    transfer_deltas,
+    transfer_scores,
+)
+from .resnet import Res5, ResNetC4
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static (hashable) model configuration distilled from the CfgNode."""
+
+    meta_architecture: str = "WeaklySupervisedRCNNNoMeta"
+    depth: int = 50
+    num_classes: int = 20
+    base_ids: Tuple[int, ...] = ()
+    novel_ids: Tuple[int, ...] = ()
+    multi_box_head: bool = False
+    pooler_resolution: int = 14
+    pooler_scale: float = 1.0 / 16.0
+    sampling_ratio: int = 2
+    roi_batch_size: int = 512
+    roi_positive_fraction: float = 0.25
+    roi_iou_thresholds: Tuple[float, ...] = (0.5,)
+    roi_iou_labels: Tuple[int, ...] = (0, 1)
+    proposal_append_gt: bool = True
+    weak_proposal_count: int = 512
+    detector_temp: float = 1.0
+    classifier_temp: float = 1.0
+    regression_branch: bool = False
+    oicr_regression_branch: bool = False
+    oicr_iter: int = 3
+    finetune: bool = False            # *_ft residual heads + train-time transfer
+    weak_finetune_detach: bool = False  # SupervisedDetectorOutputsWeakFineTune
+    weak_detector_finetune: bool = False  # WeakDetectorOutputsFT streams
+    pixel_mean: Tuple[float, ...] = (103.53, 116.28, 123.675)
+    pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    normalize_images: bool = False
+    compute_dtype: str = "float32"
+    roi_align_impl: str = "xla"
+    remat_backbone: bool = False
+    mask_on: bool = False
+    rpn: rpn_lib.RPNConfig = rpn_lib.RPNConfig()
+    frcnn: frcnn.FastRCNNConfig = frcnn.FastRCNNConfig(num_classes=20)
+    weak: weak_lib.WeakLossConfig = weak_lib.WeakLossConfig(num_classes=20)
+    sim: sim_lib.SimilarityConfig = sim_lib.SimilarityConfig(
+        terms=(("cls", ("lingual",)), ("bbox", ("lingual",))),
+        base_ids=(), novel_ids=(), coco_indexer=(),
+    )
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    @classmethod
+    def from_cfg(cls, cfg, class_names=None) -> "ModelConfig":
+        num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
+        if class_names is None:
+            class_names = (
+                sim_lib.VOC_CLASSES if num_classes == 20 else sim_lib.COCO_CLASSES[:num_classes]
+            )
+        wd = cfg.MODEL.ROI_HEADS.FAST_RCNN.WEAK_DETECTOR
+        fast_name = cfg.MODEL.ROI_HEADS.FAST_RCNN.NAME
+        weak_name = wd.NAME
+        return cls(
+            meta_architecture=cfg.MODEL.META_ARCHITECTURE,
+            depth=cfg.MODEL.RESNETS.DEPTH,
+            num_classes=num_classes,
+            base_ids=tuple(cfg.DATASETS.FEWSHOT.BASE_CLASSES_ID),
+            novel_ids=tuple(cfg.DATASETS.FEWSHOT.NOVEL_CLASSES_ID),
+            multi_box_head=cfg.MODEL.ROI_HEADS.MULTI_BOX_HEAD,
+            pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            sampling_ratio=cfg.TPU.ROI_ALIGN_SAMPLING_RATIO,
+            roi_batch_size=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+            roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+            roi_iou_thresholds=tuple(cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS),
+            roi_iou_labels=tuple(cfg.MODEL.ROI_HEADS.IOU_LABELS),
+            proposal_append_gt=cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT,
+            weak_proposal_count=(
+                cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
+                // cfg.MODEL.ROI_HEADS.WEAK_CLASSIFIER_PROPOSAL_DIVISOR
+            ),
+            detector_temp=wd.DETECTOR_TEMP,
+            classifier_temp=wd.CLASSIFIER_TEMP,
+            regression_branch=wd.REGRESSION_BRANCH,
+            oicr_regression_branch=wd.OICR_REGRESSION_BRANCH,
+            oicr_iter=wd.OICR_ITER,
+            finetune="FineTune" in fast_name and "Weak" not in fast_name,
+            weak_finetune_detach=fast_name == "SupervisedDetectorOutputsWeakFineTune",
+            weak_detector_finetune=weak_name == "WeakDetectorOutputsFT",
+            pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+            pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+            normalize_images=cfg.INPUT.NORMALIZE_IMAGES,
+            compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+            roi_align_impl=(
+                "xla" if cfg.TPU.ROI_ALIGN_IMPL == "auto" else cfg.TPU.ROI_ALIGN_IMPL
+            ),
+            remat_backbone=cfg.TPU.REMAT_BACKBONE,
+            mask_on=cfg.MODEL.MASK_ON,
+            rpn=rpn_lib.RPNConfig.from_cfg(cfg),
+            frcnn=frcnn.FastRCNNConfig.from_cfg(cfg),
+            weak=weak_lib.WeakLossConfig(
+                num_classes=num_classes,
+                oicr_iter=wd.OICR_ITER,
+                fg_threshold=cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS[0],
+                bg_threshold=wd.BG_THRESHOLD,
+                mil_multiplier=wd.MIL_MULTIPLIER,
+                weak_loss_multiplier=wd.WEAK_LOSS_MULTIPLIER,
+                bbox_reg_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+                smooth_l1_beta=cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
+                regression_branch=wd.REGRESSION_BRANCH,
+                oicr_regression_branch=wd.OICR_REGRESSION_BRANCH,
+            ),
+            sim=sim_lib.SimilarityConfig.from_cfg(cfg, class_names),
+        )
+
+
+class WSRCNN(nn.Module):
+    """All parametric components of the UniT detector family in one module."""
+
+    mc: ModelConfig
+
+    def setup(self):
+        mc = self.mc
+        self.backbone = ResNetC4(depth=mc.depth, dtype=mc.dtype, name="backbone")
+        self.rpn_head = rpn_lib.RPNHead(
+            num_anchors=mc.rpn.num_cell_anchors, conv_dim=1024, dtype=mc.dtype,
+            name="rpn_head",
+        )
+        self.box_head = Res5(depth=mc.depth, dtype=mc.dtype, name="box_head")
+        if mc.multi_box_head:
+            self.weak_box_head = Res5(depth=mc.depth, dtype=mc.dtype, name="weak_box_head")
+        self.supervised = SupervisedPredictor(
+            num_classes=mc.num_classes,
+            regression_branch=mc.regression_branch,
+            finetune=mc.finetune,
+            name="supervised",
+        )
+        self.weak_detector = WeakDetectorPredictor(
+            num_classes=mc.num_classes,
+            oicr_iter=mc.oicr_iter,
+            detector_temp=mc.detector_temp,
+            classifier_temp=mc.classifier_temp,
+            regression_branch=mc.regression_branch,
+            oicr_regression_branch=mc.oicr_regression_branch,
+            finetune=mc.weak_detector_finetune,
+            novel_ids=mc.novel_ids,
+            name="weak_detector",
+        )
+        # Frozen GloVe table (fast_rcnn.py:327): filled by the weight loader.
+        self.embeddings = self.param(
+            "embeddings", nn.initializers.normal(0.02), (80, 300)
+        )
+
+    # ---------------------------------------------------------------- pieces
+    def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(rcnn.py:257-266) optional /255, then caffe-style BGR mean/std."""
+        x = images.astype(jnp.float32)
+        if self.mc.normalize_images:
+            x = x / 255.0
+        mean = jnp.asarray(self.mc.pixel_mean)
+        std = jnp.asarray(self.mc.pixel_std)
+        return (x - mean) / std
+
+    def features(self, images: jnp.ndarray) -> jnp.ndarray:
+        bb = self.backbone
+        x = self.preprocess(images)
+        if self.mc.remat_backbone:
+            return jax.checkpoint(lambda im: bb(im))(x)
+        return bb(x)
+
+    def rpn(self, feats: jnp.ndarray):
+        return self.rpn_head(feats)
+
+    def pooled_rois(self, feats: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+        """feats [B, h, w, C], boxes [B, S, 4] -> [B*S, P, P, C]."""
+        mc = self.mc
+        out = jax.vmap(
+            lambda f, b: roi_align_ops.roi_align(
+                f, b, mc.pooler_resolution, mc.pooler_scale, mc.sampling_ratio,
+                impl=mc.roi_align_impl,
+            )
+        )(feats.astype(jnp.float32), boxes)
+        return out.reshape((-1,) + out.shape[2:])
+
+    def box_features(self, pooled: jnp.ndarray, head: str = "box") -> jnp.ndarray:
+        module = self.box_head if head == "box" else self.weak_box_head
+        return module(pooled).astype(jnp.float32)
+
+    def oicr_weight_mean(self) -> jnp.ndarray:
+        ws = [
+            self.weak_detector.oicr_predictors[i].variables["params"]["kernel"].T
+            for i in range(self.mc.oicr_iter)
+        ]
+        return jnp.mean(jnp.stack(ws), axis=0)
+
+    # ---------------------------------------------------------------- training
+    def train_losses(
+        self,
+        rng: jax.Array,
+        strong: Optional[Dict[str, jnp.ndarray]],
+        weak: Optional[Dict[str, jnp.ndarray]],
+        train_only_weak: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """One training step's loss dict.
+
+        strong: {image [B,H,W,3], gt_boxes [B,G,4], gt_classes [B,G],
+                 gt_valid [B,G], image_size [B,2]}
+        weak:   {image [Bw,H',W',3], labels [Bw,C], image_size [Bw,2]}
+        """
+        mc = self.mc
+        losses: Dict[str, jnp.ndarray] = {}
+        k_rpn, k_sample = jax.random.split(rng)
+
+        supervised_weak_scores = None
+        if strong is not None and not train_only_weak:
+            feats = self.features(strong["image"])
+            logits, deltas = self.rpn(feats)
+            fh, fw = feats.shape[1], feats.shape[2]
+            anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
+            gt = GTInstances(
+                boxes=strong["gt_boxes"],
+                classes=strong["gt_classes"],
+                valid=strong["gt_valid"],
+            )
+            losses.update(
+                rpn_lib.rpn_losses(k_rpn, logits, deltas, anchors, gt, mc.rpn)
+            )
+            proposals = rpn_lib.select_proposals(
+                jax.lax.stop_gradient(logits),
+                jax.lax.stop_gradient(deltas),
+                anchors, strong["image_size"], mc.rpn, training=True,
+            )
+            b = strong["image"].shape[0]
+            keys = jax.random.split(k_sample, b)
+            sampled = jax.vmap(
+                lambda k, pb, pv, g: sampling_ops.label_and_sample_proposals(
+                    k, pb, pv, g, mc.roi_batch_size, mc.roi_positive_fraction,
+                    mc.num_classes, mc.roi_iou_thresholds, mc.roi_iou_labels,
+                    mc.proposal_append_gt,
+                )
+            )(keys, proposals.boxes, proposals.valid, gt)
+
+            pooled = self.pooled_rois(feats, sampled.boxes)
+            box_feats = self.box_features(pooled, "box")
+            sup = self.supervised(box_feats)
+
+            # Frozen weak scores added to the deltas (fast_rcnn.py:388-392,425).
+            if mc.multi_box_head:
+                sup_weak_feats = jax.lax.stop_gradient(self.box_features(pooled, "weak"))
+            else:
+                sup_weak_feats = box_feats
+            weak_scores, weak_box_deltas = self.weak_detector.evaluation(
+                jax.lax.stop_gradient(sup_weak_feats)
+            )
+            weak_scores = jax.lax.stop_gradient(weak_scores)
+            weak_box_deltas = jax.lax.stop_gradient(weak_box_deltas)
+
+            delta_scores = sup["delta_scores"]
+            proposal_deltas = sup["proposal_deltas"]
+            if mc.finetune or mc.weak_finetune_detach:
+                # Fine-tuning computes + applies the transfer during training
+                # (roi_heads.py:618, fast_rcnn.py:484-533).
+                sims = self.inference_similarity(box_feats)
+                detach = mc.weak_finetune_detach
+                delta_scores = transfer_scores(
+                    delta_scores, sims["cls"], np.asarray(mc.base_ids),
+                    np.asarray(mc.novel_ids), detach=detach,
+                )
+                proposal_deltas = transfer_deltas(
+                    proposal_deltas, sims["bbox"], np.asarray(mc.base_ids),
+                    np.asarray(mc.novel_ids), mc.num_classes, detach=detach,
+                )
+            scores = combine_cls_logits(delta_scores, weak_scores)
+            bbox = proposal_deltas + weak_box_deltas
+            if mc.finetune:
+                scores = scores + sup["ft_scores"]
+                bbox = bbox + sup["ft_deltas"]
+            if not mc.finetune and not mc.weak_finetune_detach:
+                scores = frcnn.mask_novel_scores(scores, mc.novel_ids)
+
+            flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), sampled)
+            losses.update(frcnn.fast_rcnn_losses(scores, bbox, flat, mc.frcnn))
+
+        if weak is not None:
+            feats_w = self.features(weak["image"])
+            logits_w, deltas_w = self.rpn(feats_w)
+            fh, fw = feats_w.shape[1], feats_w.shape[2]
+            anchors_w = rpn_lib.get_anchors(fh, fw, mc.rpn)
+            props_w = rpn_lib.select_proposals(
+                jax.lax.stop_gradient(logits_w),
+                jax.lax.stop_gradient(deltas_w),
+                anchors_w, weak["image_size"], mc.rpn, training=True,
+            )
+            # top-(bspi // weak_divisor) proposals (roi_heads.py:566-572)
+            pw = mc.weak_proposal_count
+            w_boxes = props_w.boxes[:, :pw]
+            w_valid = props_w.valid[:, :pw]
+            pooled_w = self.pooled_rois(feats_w, w_boxes)
+            head = "weak" if mc.multi_box_head else "box"
+            weak_feats = self.box_features(pooled_w, head)
+            streams = self.weak_detector(weak_feats)
+            losses.update(
+                weak_lib.weak_detector_losses(
+                    streams, w_boxes, w_valid, weak["labels"], mc.weak
+                )
+            )
+        return losses
+
+    # ---------------------------------------------------------------- inference
+    def inference_similarity(self, box_feats: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Similarity matrices for transfer (roi_heads.py:519-526)."""
+        weak_eval_scores, _ = self.weak_detector.evaluation(box_feats)
+        needs_weights = any(
+            t.split("-")[0] in ("TopK", "WTopK", "LSDA")
+            for _, ts in self.mc.sim.terms for t in ts
+        )
+        return sim_lib.similarity_matrices(
+            self.mc.sim,
+            embeddings=self.embeddings,
+            weak_eval_scores=jax.lax.stop_gradient(weak_eval_scores),
+            oicr_weight_mean=self.oicr_weight_mean() if needs_weights else None,
+        )
+
+    def predict(
+        self, images: jnp.ndarray, image_sizes: jnp.ndarray, with_transfer: bool = True
+    ) -> Detections:
+        """Batched inference (generalizes the reference's batch-1-only path,
+        rcnn.py:493-542)."""
+        mc = self.mc
+        feats = self.features(images)
+        logits, deltas = self.rpn(feats)
+        fh, fw = feats.shape[1], feats.shape[2]
+        anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
+        proposals = rpn_lib.select_proposals(
+            logits, deltas, anchors, image_sizes, mc.rpn, training=False
+        )
+        b, p = proposals.boxes.shape[:2]
+        pooled = self.pooled_rois(feats, proposals.boxes)
+        box_feats = self.box_features(pooled, "box")
+        sup = self.supervised(box_feats)
+
+        if mc.multi_box_head:
+            sup_weak_feats = self.box_features(pooled, "weak")
+        else:
+            sup_weak_feats = box_feats
+        weak_scores, weak_box_deltas = self.weak_detector.evaluation(sup_weak_feats)
+
+        delta_scores = sup["delta_scores"]
+        proposal_deltas = sup["proposal_deltas"]
+        if with_transfer and len(mc.novel_ids):
+            sims = self.inference_similarity(box_feats)
+            delta_scores = transfer_scores(
+                delta_scores, sims["cls"], np.asarray(mc.base_ids), np.asarray(mc.novel_ids)
+            )
+            proposal_deltas = transfer_deltas(
+                proposal_deltas, sims["bbox"], np.asarray(mc.base_ids),
+                np.asarray(mc.novel_ids), mc.num_classes,
+            )
+        scores = combine_cls_logits(delta_scores, weak_scores)
+        bbox = proposal_deltas + weak_box_deltas
+        if mc.finetune:
+            scores = scores + sup["ft_scores"]
+            bbox = bbox + sup["ft_deltas"]
+
+        probs = jax.nn.softmax(scores, axis=-1).reshape(b, p, -1)
+        bbox = bbox.reshape(b, p, -1)
+        return jax.vmap(
+            lambda pr, bx, pb, pv, hw: frcnn.fast_rcnn_inference_single(
+                pr, bx, pb, pv, (hw[0], hw[1]), mc.frcnn
+            )
+        )(probs, bbox, proposals.boxes, proposals.valid, image_sizes)
+
+    def __call__(self, images: jnp.ndarray, image_sizes: jnp.ndarray):
+        """Init path: touch every submodule so all params are created."""
+        feats = self.features(images)
+        logits, deltas = self.rpn(feats)
+        boxes = jnp.tile(
+            jnp.asarray([[0.0, 0.0, 64.0, 64.0]]), (images.shape[0], 4, 1)
+        ).reshape(images.shape[0], 4, 4)
+        pooled = self.pooled_rois(feats, boxes)
+        bf = self.box_features(pooled, "box")
+        if self.mc.multi_box_head:
+            wf = self.box_features(pooled, "weak")
+        else:
+            wf = bf
+        sup = self.supervised(bf)
+        streams = self.weak_detector(wf)
+        _ = self.weak_detector.evaluation(wf)
+        _ = self.embeddings
+        return logits.shape, sup["delta_scores"].shape, streams["classifier_stream"].shape

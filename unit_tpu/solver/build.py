@@ -1,0 +1,168 @@
+"""Optimizer construction: SGD + warmup multistep LR + per-module LR factors +
+freeze masks.
+
+TPU rebuild of /root/reference/solver/build.py: ``build_optimizer_C4`` applies
+momentum-SGD with weight decay and scales the LR of specific head groups —
+REFINEMENT_LR_FACTOR for OICR/regression heads (:49-51,99-101), MIL_LR_FACTOR for
+the MIL streams (:102-104), DELTA_LR_FACTOR for the delta predictors (:105-107) —
+while freeze lists and BACKBONE.FREEZE_AT zero out updates entirely (the torch
+version sets requires_grad=False; here we mask the optimizer, keeping the forward
+pure).  The LR schedule is d2's WarmupMultiStepLR (SOLVER.STEPS/GAMMA/WARMUP_*).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+# parameter-path fragments identifying the reference's LR groups
+_REFINEMENT_KEYS = ("oicr_predictor", "regression_branch")
+_MIL_KEYS = ("classifier_stream", "detection_stream")
+_DELTA_KEYS = ("cls_score_delta", "bbox_pred_delta", "cls_score_ft", "bbox_pred_ft")
+
+
+def path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", p)) for p in path)
+
+
+def warmup_multistep(
+    base_lr: float,
+    steps: Sequence[int],
+    gamma: float = 0.1,
+    warmup_factor: float = 1.0 / 1000,
+    warmup_iters: int = 1000,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """d2 WarmupMultiStepLR: linear warmup then step decay at ``steps``."""
+
+    milestones = jnp.asarray(sorted(steps), jnp.int32)
+
+    def schedule(count):
+        it = jnp.asarray(count, jnp.float32)
+        alpha = jnp.clip(it / max(warmup_iters, 1), 0.0, 1.0)
+        warm = warmup_factor * (1.0 - alpha) + alpha
+        decay = gamma ** jnp.sum(it >= milestones.astype(jnp.float32))
+        return base_lr * warm * decay
+
+    return schedule
+
+
+def _freeze_backbone_prefixes(freeze_at: int) -> List[str]:
+    """BACKBONE.FREEZE_AT semantics: 1 freezes the stem, k>=2 freezes stem+res2..res_k."""
+    out = []
+    if freeze_at >= 1:
+        out.append("backbone/stem")
+    for stage in range(2, min(freeze_at, 5) + 1):
+        out.append(f"backbone/res{stage}")
+    return out
+
+
+def lr_factor_for(path: str, cfg) -> float:
+    if any(k in path for k in _REFINEMENT_KEYS):
+        return cfg.SOLVER.REFINEMENT_LR_FACTOR
+    if any(k in path for k in _MIL_KEYS):
+        return cfg.SOLVER.MIL_LR_FACTOR
+    if any(k in path for k in _DELTA_KEYS):
+        return cfg.SOLVER.DELTA_LR_FACTOR
+    if path.endswith("/bias"):
+        return cfg.SOLVER.BIAS_LR_FACTOR
+    return 1.0
+
+
+def is_frozen(path: str, cfg, extra_frozen: Iterable[str] = ()) -> bool:
+    """Whether a parameter never updates: frozen BN stats, GloVe embeddings,
+    frozen backbone stages, and any cfg FREEZE_LAYERS entry."""
+    if "_bn/" in path or path.endswith("_bn") or "/bn/" in path:
+        return True
+    if "embeddings" in path:
+        return True
+    for prefix in _freeze_backbone_prefixes(cfg.MODEL.BACKBONE.FREEZE_AT):
+        if path.startswith(prefix):
+            return True
+    freeze_cfg = cfg.MODEL.FREEZE_LAYERS
+    named = list(freeze_cfg.FAST_RCNN) + list(freeze_cfg.ROI_HEADS) + list(
+        freeze_cfg.META_ARCH
+    ) + list(freeze_cfg.BOX_HEAD) + list(freeze_cfg.MASK_HEAD)
+    # reference freeze lists name top-level torch submodules; map the common ones
+    alias = {
+        "backbone": "backbone",
+        "proposal_generator": "rpn_head",
+        "rpn_head": "rpn_head",
+        "box_head": "box_head/",
+        "weak_box_head": "weak_box_head",
+        "weak_detector_head": "weak_detector",
+        "cls_score_delta": "cls_score_delta",
+        "bbox_pred_delta": "bbox_pred_delta",
+        "classifier_stream": "classifier_stream",
+        "detection_stream": "detection_stream",
+        "oicr_predictors": "oicr_predictor",
+        "embeddings": "embeddings",
+    }
+    for name in named:
+        frag = alias.get(name, name)
+        if frag and frag in path:
+            return True
+    for frag in extra_frozen:
+        if frag and frag in path:
+            return True
+    return False
+
+
+def build_optimizer(cfg, params, extra_frozen: Iterable[str] = ()) -> optax.GradientTransformation:
+    """SGD(momentum, weight decay) with per-leaf LR factors and freeze masking.
+
+    Mirrors build_optimizer_C4 (/root/reference/solver/build.py:61-115): per-param
+    LR = BASE_LR * group factor, weight decay on non-bias weights, optional grad
+    clipping; schedule = WarmupMultiStepLR.
+    """
+    schedule = warmup_multistep(
+        cfg.SOLVER.BASE_LR,
+        cfg.SOLVER.STEPS,
+        cfg.SOLVER.GAMMA,
+        cfg.SOLVER.WARMUP_FACTOR,
+        cfg.SOLVER.WARMUP_ITERS,
+    )
+
+    factors = jax.tree_util.tree_map_with_path(
+        lambda p, _: 0.0 if is_frozen(path_str(p), cfg, extra_frozen)
+        else lr_factor_for(path_str(p), cfg),
+        params,
+    )
+    wd_mask = jax.tree_util.tree_map_with_path(
+        lambda p, _: (not path_str(p).endswith("bias"))
+        and not is_frozen(path_str(p), cfg, extra_frozen),
+        params,
+    )
+
+    chain = []
+    if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
+        if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "value":
+            chain.append(optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
+        else:
+            chain.append(optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
+    if cfg.SOLVER.WEIGHT_DECAY:
+        chain.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY, mask=wd_mask))
+    chain.append(
+        optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV)
+    )
+    chain.append(optax.scale_by_learning_rate(schedule))
+    # per-leaf factor (0 for frozen) applied after the global schedule
+    chain.append(
+        optax.GradientTransformation(
+            init=lambda _: optax.EmptyState(),
+            update=lambda updates, state, params=None: (
+                jax.tree.map(lambda u, f: u * f, updates, factors),
+                state,
+            ),
+        )
+    )
+    return optax.chain(*chain)
+
+
+def modify_for_weak_only(cfg, params) -> optax.GradientTransformation:
+    """modify_optimizer_C4 (/root/reference/solver/build.py:117-186): during the
+    TRAIN_ONLY_WEAK phase the supervised branch is frozen entirely."""
+    extra = ["supervised", "box_head/", "rpn_head", "backbone"]
+    return build_optimizer(cfg, params, extra_frozen=extra)
