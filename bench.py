@@ -1,0 +1,86 @@
+"""Benchmark: training throughput (images/sec/chip) of the flagship UniT detector.
+
+Runs the full two-stream (strong query + weak classifier) R-50-C4 training step —
+backbone x2, RPN + losses, ROIAlign over 512+512 proposals, Res5 box heads,
+supervised CE/box losses, MIL + 3x OICR losses, SGD update — on one chip with
+synthetic data at the reference's input resolution, and prints ONE JSON line.
+
+vs_baseline compares against the reference stack's measured/estimated
+~2.5 images/sec/GPU for the same recipe (Detectron2 R-C4 at IMS_PER_BATCH 8 over
+4 GPUs; the reference repo publishes no numbers — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+REFERENCE_IMG_PER_SEC_PER_CHIP = 2.5  # documented assumption, BASELINE.md
+
+
+def main():
+    from __graft_entry__ import _model_config
+    from unit_tpu.engine import create_train_state, make_train_step
+    from unit_tpu.models import WSRCNN
+
+    mc = _model_config(tiny=False)
+    model = WSRCNN(mc=mc)
+    opt = optax.sgd(0.02, momentum=0.9)
+
+    # per-chip batch: 2 strong + 2 weak images at the 800-canvas
+    b = 2
+    h, w = 800, 1344
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 256, 256, 3))
+
+    rng = np.random.RandomState(0)
+    boxes = np.zeros((b, 8, 4), np.float32)
+    boxes[..., :2] = rng.rand(b, 8, 2) * 300
+    boxes[..., 2:] = boxes[..., :2] + 30 + rng.rand(b, 8, 2) * 200
+    strong = {
+        "image": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32) * 255,
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_classes": jnp.asarray(rng.randint(0, 15, (b, 8)), jnp.int32),
+        "gt_valid": jnp.ones((b, 8), bool),
+        "image_size": jnp.asarray([[h, w]] * b, jnp.float32),
+    }
+    labels = np.zeros((b, 20), np.float32)
+    labels[:, [1, 7, 11]] = 1.0
+    weak = {
+        "image": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32) * 255,
+        "labels": jnp.asarray(labels),
+        "image_size": jnp.asarray([[h, w]] * b, jnp.float32),
+    }
+
+    step = make_train_step(model, opt)
+    # donation of state requires consistent buffers: run via explicit loop
+    state, metrics = step(state, strong, weak, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics)
+
+    n_iter = 10
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        state, metrics = step(state, strong, weak, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    imgs_per_step = 2 * b  # strong + weak images both run the backbone
+    value = imgs_per_step * n_iter / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip",
+                "value": round(value, 3),
+                "unit": "img/s",
+                "vs_baseline": round(value / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

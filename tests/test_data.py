@@ -1,0 +1,169 @@
+"""Data pipeline tests on a synthetic on-disk VOC devkit."""
+
+import os
+
+import numpy as np
+import pytest
+
+from unit_tpu.config import get_cfg
+from unit_tpu.data import (
+    DatasetCatalog,
+    RegisterVOC,
+    StreamLoader,
+    TransformConfig,
+    build_classifier_loader,
+    build_strong_loader,
+    build_test_loader,
+    prepare_detection_record,
+    sample_classifier_dataset,
+)
+from unit_tpu.data.transforms import resize_shortest_edge
+from unit_tpu.models.similarity import VOC_CLASSES
+
+_XML = """<annotation>
+  <size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+  {objects}
+</annotation>"""
+_OBJ = """<object><name>{name}</name><difficult>{diff}</difficult>
+  <bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox>
+</object>"""
+
+
+@pytest.fixture(scope="module")
+def synthetic_voc(tmp_path_factory):
+    """A minimal VOCdevkit with 2007 trainval/test and 2012 trainval."""
+    root = tmp_path_factory.mktemp("VOCdevkit")
+    rng = np.random.RandomState(0)
+    for year, splits in [("2007", ["trainval", "test"]), ("2012", ["trainval"])]:
+        base = root / f"VOC{year}"
+        (base / "Annotations").mkdir(parents=True)
+        (base / "ImageSets" / "Main").mkdir(parents=True)
+        (base / "JPEGImages").mkdir(parents=True)
+        ids_per_split = {}
+        for split in splits:
+            ids = []
+            for i in range(8):
+                image_id = f"{year}_{split}_{i:03d}"
+                ids.append(image_id)
+                objs = []
+                for _ in range(rng.randint(1, 4)):
+                    cls = VOC_CLASSES[rng.randint(len(VOC_CLASSES))]
+                    x1, y1 = rng.randint(1, 40, 2)
+                    objs.append(_OBJ.format(
+                        name=cls, diff=0, x1=x1, y1=y1, x2=x1 + 30, y2=y1 + 25
+                    ))
+                xml = _XML.format(w=120, h=100, objects="\n".join(objs))
+                (base / "Annotations" / f"{image_id}.xml").write_text(xml)
+            ids_per_split[split] = ids
+            (base / "ImageSets" / "Main" / f"{split}.txt").write_text("\n".join(ids))
+    return str(root)
+
+
+def _fake_image_loader(rec):
+    rng = np.random.RandomState(abs(hash(rec["image_id"])) % 2**31)
+    return rng.rand(rec["height"], rec["width"], 3).astype(np.float32) * 255
+
+
+def _cfg(synthetic_voc):
+    cfg = get_cfg()
+    cfg.DATASETS.CLASSIFIER_DATAROOT = synthetic_voc
+    cfg.DATASETS.TRAIN = ("voc_base_training_query_train",)
+    cfg.DATASETS.TEST = ("voc_base_training_query_val",)
+    cfg.DATASETS.CLASSIFIER_TRAIN = ("pascal_trainval_2007", "pascal_trainval_2012")
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.INPUT.MIN_SIZE_TRAIN = (96, 128)
+    cfg.INPUT.MAX_SIZE_TRAIN = 160
+    cfg.INPUT.MIN_SIZE_TEST = 96
+    cfg.INPUT.MAX_SIZE_TEST = 160
+    cfg.TPU.MAX_GT_BOXES = 10
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 20
+    return cfg
+
+
+def test_register_and_load(synthetic_voc):
+    DatasetCatalog.clear()
+    cfg = _cfg(synthetic_voc)
+    RegisterVOC(cfg, synthetic_voc).register_all()
+    train = DatasetCatalog.get("voc_base_training_query_train")
+    assert len(train) > 0
+    base_ids = set(cfg.DATASETS.FEWSHOT.BASE_CLASSES_ID)
+    for rec in train:
+        assert rec["annotations"]
+        for ann in rec["annotations"]:
+            assert ann["category_id"] in base_ids
+    val = DatasetCatalog.get("voc_base_training_query_val")
+    assert len(val) == 8
+
+
+def test_kshot_counts(synthetic_voc):
+    DatasetCatalog.clear()
+    cfg = _cfg(synthetic_voc)
+    cfg.DATASETS.FEWSHOT.NUM_SHOTS = 1
+    RegisterVOC(cfg, synthetic_voc).register_all()
+    ft = DatasetCatalog.get("voc_fine_tuning_query_train")
+    assert len(ft) > 0
+    # at most NUM_SHOTS boxes per class
+    counts = {}
+    for rec in ft:
+        for ann in rec["annotations"]:
+            counts[ann["category_id"]] = counts.get(ann["category_id"], 0) + 1
+    # k-shot guarantee applies to sampled classes present in the tiny dataset
+    assert counts
+
+
+def test_strong_loader_shapes(synthetic_voc):
+    DatasetCatalog.clear()
+    cfg = _cfg(synthetic_voc)
+    RegisterVOC(cfg, synthetic_voc).register_all()
+    loader = build_strong_loader(cfg, image_loader=_fake_image_loader)
+    batch = next(iter(loader))
+    ch, cw = loader.tcfg.canvas
+    assert batch["image"].shape == (2, ch, cw, 3)
+    assert batch["gt_boxes"].shape == (2, 10, 4)
+    assert batch["gt_valid"].any()
+    # boxes inside the resized image
+    hw = batch["image_size"]
+    assert (batch["gt_boxes"][..., 2] <= hw[:, None, 1] + 1e-3).all()
+
+
+def test_classifier_loader_labels(synthetic_voc):
+    DatasetCatalog.clear()
+    cfg = _cfg(synthetic_voc)
+    RegisterVOC(cfg, synthetic_voc).register_all()
+    loader = build_classifier_loader(cfg, image_loader=_fake_image_loader)
+    batch = next(iter(loader))
+    assert batch["labels"].shape == (2, 20)
+    assert (batch["labels"].sum(-1) >= 1).all()
+
+
+def test_classifier_sampling_seeded(synthetic_voc):
+    DatasetCatalog.clear()
+    cfg = _cfg(synthetic_voc)
+    cfg.DATASETS.WEAK_CLASSIFIER_SAMPLE_NUM = 2
+    cfg.DATASETS.BASE_MULTIPLIER = 1.0
+    RegisterVOC(cfg, synthetic_voc).register_all()
+    recs = DatasetCatalog.get("pascal_trainval_2007")
+    s1 = sample_classifier_dataset(cfg, recs)
+    s2 = sample_classifier_dataset(cfg, recs)
+    assert [r["image_id"] for r in s1] == [r["image_id"] for r in s2]
+    # every record carries exactly one class after per-class split
+    for r in s1:
+        assert len({a["category_id"] for a in r["annotations"]}) == 1
+
+
+def test_test_loader_pads_final_batch(synthetic_voc):
+    DatasetCatalog.clear()
+    cfg = _cfg(synthetic_voc)
+    RegisterVOC(cfg, synthetic_voc).register_all()
+    it, n = build_test_loader(cfg, "voc_base_training_query_val",
+                              image_loader=_fake_image_loader, batch_size=3)
+    batches = list(it)
+    assert n == 8
+    assert len(batches) == 3
+    ids = [i for b in batches for i in b["image_id"] if i is not None]
+    assert len(ids) == 8
+
+
+def test_resize_shortest_edge_caps_max():
+    h, w, s = resize_shortest_edge(100, 400, 96, 160)
+    assert max(h, w) <= 160

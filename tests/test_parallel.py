@@ -1,0 +1,59 @@
+"""Data-parallel train step over the faked 8-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from unit_tpu.engine import TrainerNoMeta, create_train_state, make_train_step
+from unit_tpu.models import WSRCNN
+from unit_tpu.parallel import make_mesh, replicate, shard_batch
+from tests.test_model_smoke import tiny_config, _strong_batch, _weak_batch
+
+
+@pytest.mark.slow
+def test_dp_train_step_on_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    mc = tiny_config()
+    model = WSRCNN(mc=mc)
+    opt = optax.sgd(1e-3, momentum=0.9)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0))
+    state = replicate(mesh, state)
+
+    step = make_train_step(model, opt, mesh=mesh)
+    strong = shard_batch(mesh, _strong_batch(b=8))
+    weak = shard_batch(mesh, _weak_batch(b=8))
+
+    state2, metrics = step(state, strong, weak, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state2.step) == 1
+
+    # params stay replicated and actually changed
+    p_new = state2.params["supervised"]["cls_score_delta"]["bias"]
+    assert p_new.sharding.is_fully_replicated
+    state3, _ = step(state2, strong, weak, jax.random.PRNGKey(2))
+    assert int(state3.step) == 2
+
+
+@pytest.mark.slow
+def test_dp_matches_single_device_loss():
+    """The sharded step must compute the same global loss as single-device."""
+    mesh = make_mesh(8)
+    mc = tiny_config()
+    model = WSRCNN(mc=mc)
+    opt = optax.sgd(0.0)  # lr 0: state unchanged, just compare metrics
+    state = create_train_state(model, opt, jax.random.PRNGKey(0))
+
+    strong, weak = _strong_batch(b=8), _weak_batch(b=8)
+    step1 = make_train_step(model, opt)
+    _, m1 = step1(state, strong, weak, jax.random.PRNGKey(7))
+
+    state_r = replicate(mesh, create_train_state(model, opt, jax.random.PRNGKey(0)))
+    step8 = make_train_step(model, opt, mesh=mesh)
+    _, m8 = step8(state_r, shard_batch(mesh, strong), shard_batch(mesh, weak),
+                  jax.random.PRNGKey(7))
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-4, atol=1e-5)

@@ -1,0 +1,59 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unit_tpu.config import get_cfg
+from unit_tpu.solver import build_optimizer, warmup_multistep
+from unit_tpu.solver.build import is_frozen, lr_factor_for
+
+
+def test_warmup_multistep_schedule():
+    sched = warmup_multistep(0.02, (12000, 24000), 0.1, 1 / 1000, 100)
+    assert abs(float(sched(0)) - 0.02 * (1 / 1000)) < 1e-9
+    assert abs(float(sched(100)) - 0.02) < 1e-9
+    assert abs(float(sched(11999)) - 0.02) < 1e-9
+    assert abs(float(sched(12000)) - 0.002) < 1e-9
+    assert abs(float(sched(24000)) - 0.0002) < 1e-10
+
+
+def test_freeze_rules():
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.FREEZE_AT = 2
+    assert is_frozen("backbone/stem_conv1/kernel", cfg)
+    assert is_frozen("backbone/res2/block0/conv1/kernel", cfg)
+    assert not is_frozen("backbone/res3/block0/conv1/kernel", cfg)
+    assert is_frozen("backbone/res3/block0/conv1_bn/weight", cfg)  # frozen BN
+    assert is_frozen("embeddings", cfg)
+    assert not is_frozen("supervised/cls_score_delta/kernel", cfg)
+    cfg.MODEL.FREEZE_LAYERS.FAST_RCNN = ["classifier_stream", "detection_stream"]
+    assert is_frozen("weak_detector/classifier_stream/kernel", cfg)
+
+
+def test_lr_factors():
+    cfg = get_cfg()
+    cfg.SOLVER.REFINEMENT_LR_FACTOR = 0.1
+    cfg.SOLVER.MIL_LR_FACTOR = 2.0
+    cfg.SOLVER.DELTA_LR_FACTOR = 0.5
+    assert lr_factor_for("weak_detector/oicr_predictor_0/kernel", cfg) == 0.1
+    assert lr_factor_for("weak_detector/classifier_stream/kernel", cfg) == 2.0
+    assert lr_factor_for("supervised/cls_score_delta/kernel", cfg) == 0.5
+    assert lr_factor_for("backbone/res3/block0/conv1/kernel", cfg) == 1.0
+
+
+def test_optimizer_freezes_and_updates():
+    cfg = get_cfg()
+    cfg.SOLVER.BASE_LR = 0.1
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.WEIGHT_DECAY = 0.0
+    params = {
+        "backbone": {"res2": {"block0": {"conv1": {"kernel": jnp.ones((3,))}}}},
+        "supervised": {"cls_score_delta": {"kernel": jnp.ones((3,))}},
+    }
+    opt = build_optimizer(cfg, params)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    frozen_upd = updates["backbone"]["res2"]["block0"]["conv1"]["kernel"]
+    live_upd = updates["supervised"]["cls_score_delta"]["kernel"]
+    assert float(jnp.abs(frozen_upd).sum()) == 0.0
+    assert float(jnp.abs(live_upd).sum()) > 0.0

@@ -43,7 +43,12 @@ def parse_voc_xml(xml_path: str, class_ids_to_include: Sequence[int] | None = No
         bbox = [float(bb.find(x).text) for x in ["xmin", "ymin", "xmax", "ymax"]]
         bbox[0] -= 1.0
         bbox[1] -= 1.0
-        record["annotations"].append({"category_id": cid, "bbox": bbox})
+        diff = obj.find("difficult")
+        record["annotations"].append({
+            "category_id": cid,
+            "bbox": bbox,
+            "difficult": int(diff.text) if diff is not None else 0,
+        })
     return record
 
 

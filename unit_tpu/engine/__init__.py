@@ -1,0 +1,15 @@
+from .train import (
+    TrainState,
+    TrainerBase,
+    TrainerNoMeta,
+    TrainerFineTune,
+    TrainerOnlyWeak,
+    create_train_state,
+    make_train_step,
+    make_predict_fn,
+)
+
+__all__ = [
+    "TrainState", "TrainerBase", "TrainerNoMeta", "TrainerFineTune",
+    "TrainerOnlyWeak", "create_train_state", "make_train_step", "make_predict_fn",
+]

@@ -1,0 +1,186 @@
+"""Training engine: jitted train step + trainer classes mirroring the reference.
+
+Rebuild of /root/reference/engine/defaults.py: ``TrainerNoMeta`` (two-stream base
+training, :266-288), ``TrainerFineTune`` (single k-shot stream, :442-463),
+``TrainerOnlyWeak`` variants (:377-425) and ``WeakDetectorTrainer``.  The per-step
+flow — pull strong + weak batches, forward, backward, allreduce, step — becomes a
+single jitted SPMD program; ``comm.synchronize()`` disappears (XLA dispatch is
+async) and DDP's allreduce becomes the compiler-inserted gradient psum.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.meta_arch import ModelConfig, WSRCNN
+from ..parallel import mesh as mesh_lib
+
+
+@chex.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(model: WSRCNN, optimizer, rng, sample_shape=(1, 64, 64, 3)) -> TrainState:
+    imgs = jnp.zeros(sample_shape, jnp.float32)
+    sizes = jnp.asarray([[sample_shape[1], sample_shape[2]]] * sample_shape[0], jnp.float32)
+    variables = model.init(rng, imgs, sizes)
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    model: WSRCNN,
+    optimizer: optax.GradientTransformation,
+    train_only_weak: bool = False,
+    mesh=None,
+) -> Callable:
+    """Build the jitted (state, strong, weak, rng) -> (state, metrics) step.
+
+    With a mesh, batches are sharded over the 'data' axis and params replicated;
+    XLA inserts the gradient all-reduce (replaces DDP, engine/defaults.py:282-285).
+    """
+
+    def step_fn(state: TrainState, strong, weak, rng):
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params}, rng, strong, weak,
+                train_only_weak=train_only_weak,
+                method=WSRCNN.train_losses,
+            )
+            total = jnp.asarray(0.0)
+            for v in losses.values():
+                total = total + v
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt, step=state.step + 1
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.data_sharded(mesh)
+
+    def batch_sharding(batch_template):
+        return jax.tree.map(lambda _: data, batch_template)
+
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,),
+        in_shardings=(repl, data, data, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_predict_fn(model: WSRCNN, mesh=None) -> Callable:
+    def predict_fn(params, images, image_sizes):
+        return model.apply(
+            {"params": params}, images, image_sizes, method=WSRCNN.predict
+        )
+
+    if mesh is None:
+        return jax.jit(predict_fn)
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.data_sharded(mesh)
+    return jax.jit(predict_fn, in_shardings=(repl, data, data), out_shardings=data)
+
+
+class TrainerBase:
+    """Shared loop: hooks for metrics, periodic checkpoint/eval are supplied by
+    the caller (checkpoint/detection_checkpoint.py equivalent lives in
+    unit_tpu/checkpoint)."""
+
+    def __init__(
+        self,
+        model: WSRCNN,
+        optimizer,
+        strong_iter: Optional[Iterator] = None,
+        weak_iter: Optional[Iterator] = None,
+        rng: Optional[jax.Array] = None,
+        mesh=None,
+        train_only_weak: bool = False,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.strong_iter = strong_iter
+        self.weak_iter = weak_iter
+        self.mesh = mesh
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.train_step = make_train_step(
+            model, optimizer, train_only_weak=train_only_weak, mesh=mesh
+        )
+        self.state: Optional[TrainState] = None
+        self.metrics_history = []
+
+    def init_state(self, sample_shape=(1, 64, 64, 3)):
+        init_rng, self.rng = jax.random.split(self.rng)
+        self.state = create_train_state(self.model, self.optimizer, init_rng, sample_shape)
+        if self.mesh is not None:
+            self.state = mesh_lib.replicate(self.mesh, self.state)
+        return self.state
+
+    def _next_batches(self):
+        strong = next(self.strong_iter) if self.strong_iter is not None else None
+        weak = next(self.weak_iter) if self.weak_iter is not None else None
+        return strong, weak
+
+    def run_step(self) -> Dict[str, float]:
+        t0 = time.perf_counter()
+        strong, weak = self._next_batches()
+        data_time = time.perf_counter() - t0
+        if self.mesh is not None:
+            strong = mesh_lib.shard_batch(self.mesh, strong) if strong else None
+            weak = mesh_lib.shard_batch(self.mesh, weak) if weak else None
+        step_rng = jax.random.fold_in(self.rng, int(self.state.step))
+        self.state, metrics = self.train_step(self.state, strong, weak, step_rng)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["data_time"] = data_time
+        self.metrics_history.append(metrics)
+        return metrics
+
+    def train(self, max_iter: int, hooks=()):
+        assert self.state is not None, "call init_state() first"
+        for _ in range(max_iter):
+            metrics = self.run_step()
+            for hook in hooks:
+                hook(int(self.state.step), metrics, self)
+        return self.state
+
+
+class TrainerNoMeta(TrainerBase):
+    """Base training: strong query + weak classifier streams (defaults.py:266-288)."""
+
+
+class TrainerFineTune(TrainerBase):
+    """k-shot fine-tuning: strong stream only (defaults.py:442-463)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("weak_iter", None)
+        super().__init__(*args, **kwargs)
+
+
+class TrainerOnlyWeak(TrainerBase):
+    """Weak-branch-only training (defaults.py:377-400)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["train_only_weak"] = True
+        super().__init__(*args, **kwargs)

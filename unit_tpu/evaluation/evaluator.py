@@ -1,0 +1,61 @@
+"""Inference driver: run a model over a test loader and feed an evaluator.
+
+Rebuild of /root/reference/evalutation/evaulator.py ``inference_on_dataset``
+(:22-106): warmup-aware timing, ETA logging, evaluator process/evaluate protocol.
+Detections come back as padded arrays; boxes are rescaled from network-input to
+original image coordinates here (the reference's ``_postprocess``, rcnn.py:411-429).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+logger = logging.getLogger("unit_tpu")
+
+
+def inference_on_dataset(
+    predict_fn: Callable,          # (images, image_sizes) -> Detections (batched)
+    loader: Iterator,              # yields test batches from build_test_loader
+    evaluator,                     # PascalVOCEvaluator-like
+    total_images: Optional[int] = None,
+    warmup: int = 1,
+) -> dict:
+    evaluator.reset()
+    num_done = 0
+    total_time = 0.0
+    for batch_idx, batch in enumerate(loader):
+        t0 = time.perf_counter()
+        det = predict_fn(batch["image"], batch["image_size"])
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        classes = np.asarray(det.classes)
+        valid = np.asarray(det.valid)
+        dt = time.perf_counter() - t0
+        if batch_idx >= warmup:
+            total_time += dt
+
+        for i, image_id in enumerate(batch["image_id"]):
+            if image_id is None:  # padding of the final partial batch
+                continue
+            scale = batch["scale"][i]
+            oh, ow = batch["orig_size"][i]
+            b = boxes[i] / scale
+            b[:, 0::2] = np.clip(b[:, 0::2], 0, ow)
+            b[:, 1::2] = np.clip(b[:, 1::2], 0, oh)
+            evaluator.process(image_id, b, scores[i], classes[i], valid[i])
+            num_done += 1
+        if total_images and batch_idx % 50 == 0 and num_done > warmup:
+            per_img = total_time / max(num_done - warmup, 1)
+            eta = per_img * (total_images - num_done)
+            logger.info(
+                "inference %d/%d (%.4f s/img, ETA %.0fs)",
+                num_done, total_images, per_img, eta,
+            )
+    results = evaluator.evaluate()
+    if num_done > warmup:
+        results["inference_seconds_per_image"] = total_time / (num_done - warmup)
+    return results

@@ -1,0 +1,13 @@
+from .mesh import (
+    DATA_AXIS,
+    make_mesh,
+    replicated,
+    data_sharded,
+    shard_batch,
+    replicate,
+)
+
+__all__ = [
+    "DATA_AXIS", "make_mesh", "replicated", "data_sharded", "shard_batch",
+    "replicate",
+]

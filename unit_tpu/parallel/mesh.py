@@ -1,0 +1,50 @@
+"""Device mesh + sharding helpers: data parallelism the XLA-SPMD way.
+
+Replaces the reference's NCCL DDP + per-step ``comm.synchronize()`` barrier
+(engine/defaults.py:282-285, SURVEY.md §5 "Distributed communication backend"):
+one jitted program per step over a 1-D ``data`` mesh; batch arrays are sharded on
+their leading axis, parameters are replicated, and XLA inserts the gradient
+all-reduce over ICI.  No host barrier is needed — dispatch is async.
+
+The mesh is 1-D for pure DP (all the reference supports) but the helpers accept
+any axis layout so model/spatial sharding can be layered on later.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = (DATA_AXIS,)) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    shape = (n,) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices[:n]).reshape(shape), axis_names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch with the leading axis split across the data mesh."""
+    sh = data_sharded(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sh) if hasattr(x, "ndim") and x.ndim > 0 else x,
+        batch,
+    )
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

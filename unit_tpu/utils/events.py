@@ -1,0 +1,90 @@
+"""Metrics storage and writers.
+
+Rebuild of the reference's EventStorage/PeriodicWriter observability
+(SURVEY.md §5 "Metrics / logging"): scalars accumulated per step, written
+periodically to the terminal and to ``metrics.json`` (one JSON line per step,
+matching d2's JSONWriter format).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from collections import defaultdict, deque
+from typing import Dict, Optional
+
+logger = logging.getLogger("unit_tpu")
+
+
+class EventStorage:
+    def __init__(self, window_size: int = 20):
+        self._history = defaultdict(lambda: deque(maxlen=window_size))
+        self._latest: Dict[str, float] = {}
+        self.iter = 0
+
+    def put_scalars(self, **kwargs):
+        for k, v in kwargs.items():
+            v = float(v)
+            self._history[k].append(v)
+            self._latest[k] = v
+
+    def median(self, key: str) -> float:
+        vals = sorted(self._history[key])
+        return vals[len(vals) // 2] if vals else float("nan")
+
+    def latest(self) -> Dict[str, float]:
+        return dict(self._latest)
+
+
+class JSONWriter:
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._f = open(path, "a")
+
+    def write(self, step: int, storage: EventStorage):
+        rec = {"iteration": step}
+        rec.update(storage.latest())
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+class ConsoleWriter:
+    def __init__(self, max_iter: Optional[int] = None):
+        self.max_iter = max_iter
+        self._t0 = time.perf_counter()
+        self._last_step = 0
+
+    def write(self, step: int, storage: EventStorage):
+        elapsed = time.perf_counter() - self._t0
+        per_it = elapsed / max(step, 1)
+        eta = (self.max_iter - step) * per_it if self.max_iter else None
+        parts = [f"iter {step}"]
+        if eta is not None:
+            parts.append(f"eta {eta/60:.1f}m")
+        for k, v in sorted(storage.latest().items()):
+            parts.append(f"{k} {storage.median(k):.4g}")
+        logger.info("  ".join(parts))
+
+
+class MetricsHook:
+    """Trainer hook: accumulate metrics + periodic writes."""
+
+    def __init__(self, output_dir: str, period: int = 20, max_iter: Optional[int] = None):
+        self.storage = EventStorage()
+        self.period = period
+        self.writers = [
+            ConsoleWriter(max_iter),
+            JSONWriter(os.path.join(output_dir, "metrics.json")),
+        ]
+
+    def __call__(self, step: int, metrics: dict, trainer):
+        self.storage.iter = step
+        self.storage.put_scalars(**metrics)
+        if step % self.period == 0:
+            for w in self.writers:
+                w.write(step, self.storage)
