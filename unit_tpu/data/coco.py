@@ -1,0 +1,168 @@
+"""COCO dataset parsing and few-shot split registration.
+
+Rebuild of /root/reference/data/datasets/coco/{base_training,fine_tuning}.py:
+COCO instances JSON -> d2-style records, base-training query splits filtered to
+the 60 base classes (split1: the 20 VOC-overlapping classes are novel),
+image-level classifier datasets and seeded k-shot fine-tuning splits.  Polygon
+segmentations are rasterized into fixed-resolution GT-box-frame bitmasks for the
+mask head (SURVEY.md §7 static-shape stance).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from .catalog import DatasetCatalog, MetadataCatalog
+from ..models.similarity import COCO_CLASSES
+
+
+def polygons_to_boxmask(polys: List[List[float]], box, size: int = 28) -> np.ndarray:
+    """Rasterize COCO polygon(s) into a size x size mask in the box frame."""
+    x1, y1, x2, y2 = box
+    w = max(x2 - x1, 1e-3)
+    h = max(y2 - y1, 1e-3)
+    mask = np.zeros((size, size), bool)
+    for poly in polys:
+        pts = np.asarray(poly, np.float64).reshape(-1, 2)
+        px = (pts[:, 0] - x1) / w * size
+        py = (pts[:, 1] - y1) / h * size
+        mask |= _fill_poly(px, py, size)
+    return mask
+
+
+def _fill_poly(px: np.ndarray, py: np.ndarray, size: int) -> np.ndarray:
+    """Scanline polygon fill (even-odd rule) on a small grid."""
+    mask = np.zeros((size, size), bool)
+    n = len(px)
+    if n < 3:
+        return mask
+    ys = np.arange(size) + 0.5
+    for yi, y in enumerate(ys):
+        xs = []
+        for i in range(n):
+            x0, y0 = px[i], py[i]
+            x1, y1 = px[(i + 1) % n], py[(i + 1) % n]
+            if (y0 <= y < y1) or (y1 <= y < y0):
+                t = (y - y0) / (y1 - y0)
+                xs.append(x0 + t * (x1 - x0))
+        xs.sort()
+        for a, b in zip(xs[0::2], xs[1::2]):
+            lo = max(int(np.ceil(a - 0.5)), 0)
+            hi = min(int(np.floor(b - 0.5)) + 1, size)
+            if hi > lo:
+                mask[yi, lo:hi] = True
+    return mask
+
+
+def load_coco_json(
+    json_file: str,
+    image_root: str,
+    class_ids_to_include: Sequence[int] | None = None,
+    with_masks: bool = False,
+    mask_size: int = 28,
+) -> List[dict]:
+    """COCO instances JSON -> records (contiguous category ids in model order)."""
+    with open(json_file) as f:
+        data = json.load(f)
+    cat_list = sorted(data["categories"], key=lambda c: c["id"])
+    cat_to_contiguous = {c["id"]: i for i, c in enumerate(cat_list)}
+    imgs = {im["id"]: im for im in data["images"]}
+    anns_per_img: Dict[int, list] = {}
+    for ann in data["annotations"]:
+        if ann.get("ignore", 0):
+            continue
+        anns_per_img.setdefault(ann["image_id"], []).append(ann)
+
+    out = []
+    for img_id, im in imgs.items():
+        record = {
+            "image_id": str(img_id),
+            "file_name": os.path.join(image_root, im["file_name"]),
+            "height": im["height"],
+            "width": im["width"],
+            "annotations": [],
+        }
+        for ann in anns_per_img.get(img_id, []):
+            cid = cat_to_contiguous.get(ann["category_id"])
+            if cid is None:
+                continue
+            if class_ids_to_include is not None and cid not in class_ids_to_include:
+                continue
+            x, y, w, h = ann["bbox"]
+            rec_ann = {
+                "category_id": cid,
+                "bbox": [x, y, x + w, y + h],
+                "area": ann.get("area", w * h),
+                "iscrowd": ann.get("iscrowd", 0),
+            }
+            if with_masks and isinstance(ann.get("segmentation"), list):
+                rec_ann["box_mask"] = polygons_to_boxmask(
+                    ann["segmentation"], rec_ann["bbox"], mask_size
+                )
+            record["annotations"].append(rec_ann)
+        if record["annotations"]:
+            out.append(record)
+    return out
+
+
+class RegisterCOCO:
+    """Registers the COCO few-shot family (register_coco.py equivalents):
+
+      coco_base_training_query_train — train2017, base-class boxes only
+      coco_base_training_query_val   — val2017, all classes
+      coco_fine_tuning_query_train   — seeded k-shot over all classes
+      coco_train_2014 / coco_train_2017 — classifier (image-level) datasets
+    """
+
+    def __init__(self, cfg, root: str | None = None):
+        self.cfg = cfg
+        self.root = root or cfg.DATASETS.CLASSIFIER_DATAROOT
+        self.base_ids = list(cfg.DATASETS.FEWSHOT.BASE_CLASSES_ID)
+        self.all_ids = sorted(
+            set(self.base_ids) | set(cfg.DATASETS.FEWSHOT.NOVEL_CLASSES_ID)
+        )
+        self.shots = cfg.DATASETS.FEWSHOT.NUM_SHOTS
+        self.seed = cfg.DATASETS.SAMPLE_SEED
+        self.with_masks = cfg.MODEL.MASK_ON
+
+    def _paths(self, split: str):
+        ann = os.path.join(self.root, "annotations", f"instances_{split}.json")
+        img = os.path.join(self.root, split)
+        return ann, img
+
+    def _register(self, name: str, fn):
+        DatasetCatalog.register(name, fn, overwrite=name in DatasetCatalog)
+        MetadataCatalog.get(name).set(
+            thing_classes=list(COCO_CLASSES), evaluator_type="coco"
+        )
+
+    def register_all(self):
+        def base_train():
+            ann, img = self._paths("train2017")
+            return load_coco_json(ann, img, self.base_ids, self.with_masks)
+
+        def val():
+            ann, img = self._paths("val2017")
+            return load_coco_json(ann, img, None, self.with_masks)
+
+        def ft_train():
+            from .voc import kshot_sample
+
+            ann, img = self._paths("train2017")
+            recs = load_coco_json(ann, img, self.all_ids, self.with_masks)
+            return kshot_sample(recs, self.shots, self.all_ids, self.seed)
+
+        def classifier():
+            ann, img = self._paths("train2017")
+            return load_coco_json(ann, img, None, False)
+
+        self._register("coco_base_training_query_train", base_train)
+        self._register("coco_base_training_query_val", val)
+        self._register("coco_fine_tuning_query_train", ft_train)
+        self._register("coco_fine_tuning_query_val", val)
+        self._register("coco_train_2014", classifier)
+        self._register("coco_train_2017", classifier)

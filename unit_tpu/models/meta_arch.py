@@ -63,6 +63,10 @@ class ModelConfig:
     regression_branch: bool = False
     oicr_regression_branch: bool = False
     oicr_iter: int = 3
+    weak_detector_type: str = "OICR"  # OICR | PCL (WEAK_DETECTOR.TYPE)
+    num_kmeans_cluster: int = 3
+    graph_iou_threshold: float = 0.4
+    max_pc_num: int = 5
     finetune: bool = False            # *_ft residual heads + train-time transfer
     weak_finetune_detach: bool = False  # SupervisedDetectorOutputsWeakFineTune
     weak_detector_finetune: bool = False  # WeakDetectorOutputsFT streams
@@ -73,6 +77,9 @@ class ModelConfig:
     roi_align_impl: str = "xla"
     remat_backbone: bool = False
     mask_on: bool = False
+    mask_head_finetune: bool = False
+    mask_num_conv: int = 0
+    mask_fg_slots: int = 128   # static fg capacity for the mask loss (= S * pos_frac)
     rpn: rpn_lib.RPNConfig = rpn_lib.RPNConfig()
     frcnn: frcnn.FastRCNNConfig = frcnn.FastRCNNConfig(num_classes=20)
     weak: weak_lib.WeakLossConfig = weak_lib.WeakLossConfig(num_classes=20)
@@ -118,6 +125,10 @@ class ModelConfig:
             regression_branch=wd.REGRESSION_BRANCH,
             oicr_regression_branch=wd.OICR_REGRESSION_BRANCH,
             oicr_iter=wd.OICR_ITER,
+            weak_detector_type=wd.TYPE,
+            num_kmeans_cluster=wd.NUM_KMEANS_CLUSTER,
+            graph_iou_threshold=wd.GRAPH_IOU_THRESHOLD,
+            max_pc_num=wd.MAX_PC_NUM,
             finetune="FineTune" in fast_name and "Weak" not in fast_name,
             weak_finetune_detach=fast_name == "SupervisedDetectorOutputsWeakFineTune",
             weak_detector_finetune=weak_name == "WeakDetectorOutputsFT",
@@ -130,6 +141,12 @@ class ModelConfig:
             ),
             remat_backbone=cfg.TPU.REMAT_BACKBONE,
             mask_on=cfg.MODEL.MASK_ON,
+            mask_head_finetune="FineTune" in cfg.MODEL.ROI_MASK_HEAD.NAME,
+            mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
+            mask_fg_slots=int(
+                cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
+                * cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION
+            ),
             rpn=rpn_lib.RPNConfig.from_cfg(cfg),
             frcnn=frcnn.FastRCNNConfig.from_cfg(cfg),
             weak=weak_lib.WeakLossConfig(
@@ -180,6 +197,15 @@ class WSRCNN(nn.Module):
             novel_ids=mc.novel_ids,
             name="weak_detector",
         )
+        if mc.mask_on:
+            from .mask_head import MaskRCNNConvUpsampleHead
+
+            self.mask_head = MaskRCNNConvUpsampleHead(
+                num_classes=mc.num_classes,
+                num_conv=mc.mask_num_conv,
+                dtype=mc.dtype,
+                name="mask_head",
+            )
         # Frozen GloVe table (fast_rcnn.py:327): filled by the weight loader.
         self.embeddings = self.param(
             "embeddings", nn.initializers.normal(0.02), (80, 300)
@@ -275,7 +301,14 @@ class WSRCNN(nn.Module):
             )(keys, proposals.boxes, proposals.valid, gt)
 
             pooled = self.pooled_rois(feats, sampled.boxes)
-            box_feats = self.box_features(pooled, "box")
+            if mc.mask_on:
+                # Res5BoxHeadWithMask keeps the 4-D map; predictors take its
+                # spatial mean (roi_heads.py:743-746).
+                feats4d = self.box_head(pooled, spatial_mean=False)
+                box_feats = jnp.mean(feats4d, axis=(-3, -2)).astype(jnp.float32)
+            else:
+                feats4d = None
+                box_feats = self.box_features(pooled, "box")
             sup = self.supervised(box_feats)
 
             # Frozen weak scores added to the deltas (fast_rcnn.py:388-392,425).
@@ -315,6 +348,11 @@ class WSRCNN(nn.Module):
             flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), sampled)
             losses.update(frcnn.fast_rcnn_losses(scores, bbox, flat, mc.frcnn))
 
+            if mc.mask_on and "gt_masks" in strong:
+                losses["loss_mask"] = self._mask_loss(
+                    feats4d, sampled, strong, box_feats, b
+                )
+
         if weak is not None:
             feats_w = self.features(weak["image"])
             logits_w, deltas_w = self.rpn(feats_w)
@@ -333,12 +371,67 @@ class WSRCNN(nn.Module):
             head = "weak" if mc.multi_box_head else "box"
             weak_feats = self.box_features(pooled_w, head)
             streams = self.weak_detector(weak_feats)
-            losses.update(
-                weak_lib.weak_detector_losses(
-                    streams, w_boxes, w_valid, weak["labels"], mc.weak
+            if mc.weak_detector_type == "PCL":
+                from . import pcl as pcl_lib
+
+                losses.update(
+                    pcl_lib.pcl_detector_losses(
+                        streams, w_boxes, w_valid, weak["labels"], mc.weak,
+                        mc.num_kmeans_cluster, mc.graph_iou_threshold, mc.max_pc_num,
+                    )
                 )
-            )
+            else:
+                losses.update(
+                    weak_lib.weak_detector_losses(
+                        streams, w_boxes, w_valid, weak["labels"], mc.weak
+                    )
+                )
         return losses
+
+    def _mask_loss(self, feats4d, sampled, strong, box_feats, b):
+        """Mask branch training loss over the fg-capacity slot slice
+        (select_foreground_proposals equivalent; fg slots are sorted first by the
+        sampler so the first ``mask_fg_slots`` slots contain every fg proposal)."""
+        from . import mask_head as mask_lib
+
+        mc = self.mc
+        k = mc.mask_fg_slots
+        s = mc.roi_batch_size
+        shp = feats4d.shape[1:]
+        sel4d = feats4d.reshape(b, s, *shp)[:, :k].reshape(-1, *shp)
+        if mc.mask_head_finetune:
+            logits, delta = self.mask_head(sel4d, return_delta=True)
+        else:
+            logits = self.mask_head(sel4d)
+            delta = None
+        if mc.finetune or mc.weak_finetune_detach:
+            sims = self.inference_similarity(box_feats)
+            seg_sim = sims["seg"]
+            if seg_sim.ndim > 2:
+                seg_sim = seg_sim.reshape(b, s, *seg_sim.shape[1:])[:, :k].reshape(
+                    -1, *seg_sim.shape[1:]
+                )
+            logits = mask_lib.transfer_mask_logits(
+                logits, seg_sim, np.asarray(mc.base_ids), np.asarray(mc.novel_ids)
+            )
+        if delta is not None:
+            logits = logits + delta
+
+        def slc(x):
+            return x.reshape(b, s, *x.shape[2:])[:, :k].reshape((-1,) + x.shape[2:])
+
+        gt_masks = strong["gt_masks"]  # [B, G, Mg, Mg]
+        gidx = sampled.gt_index[:, :k]  # [B, k]
+        sel_masks = jnp.take_along_axis(
+            gt_masks, gidx[:, :, None, None], axis=1
+        ).reshape(-1, *gt_masks.shape[2:])
+        gt_boxes_frame = sampled.gt_boxes[:, :k].reshape(-1, 4)
+        roi_boxes = sampled.boxes[:, :k].reshape(-1, 4)
+        fg = sampled.is_fg[:, :k].reshape(-1)
+        classes = sampled.gt_classes[:, :k].reshape(-1)
+        return mask_lib.mask_rcnn_loss(
+            logits, classes, sel_masks, gt_boxes_frame, roi_boxes, fg
+        )
 
     # ---------------------------------------------------------------- inference
     def inference_similarity(self, box_feats: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -398,11 +491,122 @@ class WSRCNN(nn.Module):
 
         probs = jax.nn.softmax(scores, axis=-1).reshape(b, p, -1)
         bbox = bbox.reshape(b, p, -1)
-        return jax.vmap(
+        dets = jax.vmap(
             lambda pr, bx, pb, pv, hw: frcnn.fast_rcnn_inference_single(
                 pr, bx, pb, pv, (hw[0], hw[1]), mc.frcnn
             )
         )(probs, bbox, proposals.boxes, proposals.valid, image_sizes)
+        if mc.mask_on:
+            dets = dets.replace(
+                masks=self._predict_masks(feats, dets, with_transfer)
+            )
+        return dets
+
+    def _predict_masks(self, feats, dets: Detections, with_transfer: bool):
+        """Cascaded mask prediction on the final boxes
+        (forward_with_given_boxes, roi_heads.py:777-782)."""
+        from . import mask_head as mask_lib
+
+        mc = self.mc
+        b, d = dets.boxes.shape[:2]
+        pooled = self.pooled_rois(feats, dets.boxes)
+        feats4d = self.box_head(pooled, spatial_mean=False)
+        if mc.mask_head_finetune:
+            logits, delta = self.mask_head(feats4d, return_delta=True)
+        else:
+            logits, delta = self.mask_head(feats4d), None
+        if with_transfer and len(mc.novel_ids):
+            det_box_feats = jnp.mean(feats4d, axis=(-3, -2)).astype(jnp.float32)
+            sims = self.inference_similarity(det_box_feats)
+            logits = mask_lib.transfer_mask_logits(
+                logits, sims["seg"], np.asarray(mc.base_ids), np.asarray(mc.novel_ids)
+            )
+        if delta is not None:
+            logits = logits + delta
+        masks = mask_lib.mask_rcnn_inference(logits, dets.classes.reshape(-1))
+        return masks.reshape(b, d, *masks.shape[1:])
+
+    def predict_tta(
+        self,
+        variants,                      # list of dicts: {image, image_size, scale, flip}
+        canonical_image_sizes: jnp.ndarray,  # [B, 2] true size of variant 0
+        with_transfer: bool = True,
+    ) -> Detections:
+        """Multi-scale + flip test-time augmentation (rcnn.py:136-185).
+
+        Proposals are generated once on the canonical (first) variant; for every
+        variant the proposals are rescaled/flipped into its frame, ROI-pooled and
+        scored; class probabilities are SUMMED over variants and box deltas are
+        AVERAGED (with dx mirrored back for flipped variants — the one deliberate
+        fix over the reference, which averages raw flipped deltas), then decoded
+        on the canonical proposals and run through one NMS pass.
+        """
+        mc = self.mc
+        feats0 = self.features(variants[0]["image"])
+        logits, deltas = self.rpn(feats0)
+        fh, fw = feats0.shape[1], feats0.shape[2]
+        anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
+        proposals = rpn_lib.select_proposals(
+            logits, deltas, anchors, canonical_image_sizes, mc.rpn, training=False
+        )
+        b, p = proposals.boxes.shape[:2]
+
+        sum_probs = None
+        sum_deltas = None
+        for vi, var in enumerate(variants):
+            scale = var["scale"]  # scalar python float: variant/canonical ratio
+            flip = bool(var["flip"])
+            boxes_v = proposals.boxes * scale
+            if flip:
+                w_img = var["image_size"][:, 1][:, None]  # true width per image
+                x1 = w_img - boxes_v[:, :, 2]
+                x2 = w_img - boxes_v[:, :, 0]
+                boxes_v = jnp.stack(
+                    [x1, boxes_v[:, :, 1], x2, boxes_v[:, :, 3]], axis=-1
+                )
+            feats_v = feats0 if vi == 0 else self.features(var["image"])
+            pooled = self.pooled_rois(feats_v, boxes_v)
+            box_feats = self.box_features(pooled, "box")
+            sup = self.supervised(box_feats)
+            if mc.multi_box_head:
+                sup_weak_feats = self.box_features(pooled, "weak")
+            else:
+                sup_weak_feats = box_feats
+            weak_scores, weak_box_deltas = self.weak_detector.evaluation(sup_weak_feats)
+
+            delta_scores = sup["delta_scores"]
+            proposal_deltas = sup["proposal_deltas"]
+            if with_transfer and len(mc.novel_ids):
+                sims = self.inference_similarity(box_feats)
+                delta_scores = transfer_scores(
+                    delta_scores, sims["cls"], np.asarray(mc.base_ids),
+                    np.asarray(mc.novel_ids),
+                )
+                proposal_deltas = transfer_deltas(
+                    proposal_deltas, sims["bbox"], np.asarray(mc.base_ids),
+                    np.asarray(mc.novel_ids), mc.num_classes,
+                )
+            scores = combine_cls_logits(delta_scores, weak_scores)
+            bbox = proposal_deltas + weak_box_deltas
+            if mc.finetune:
+                scores = scores + sup["ft_scores"]
+                bbox = bbox + sup["ft_deltas"]
+            probs = jax.nn.softmax(scores, axis=-1)
+            bbox4 = bbox.reshape(bbox.shape[0], -1, 4)
+            if flip:
+                bbox4 = bbox4.at[..., 0].multiply(-1.0)  # mirror dx back
+            bbox = bbox4.reshape(bbox.shape[0], -1)
+            sum_probs = probs if sum_probs is None else sum_probs + probs
+            sum_deltas = bbox if sum_deltas is None else sum_deltas + bbox
+
+        n_var = float(len(variants))
+        probs = (sum_probs).reshape(b, p, -1)  # summed (not normalized), ref :163
+        mean_deltas = (sum_deltas / n_var).reshape(b, p, -1)
+        return jax.vmap(
+            lambda pr, bx, pb, pv, hw: frcnn.fast_rcnn_inference_single(
+                pr, bx, pb, pv, (hw[0], hw[1]), mc.frcnn
+            )
+        )(probs, mean_deltas, proposals.boxes, proposals.valid, canonical_image_sizes)
 
     def __call__(self, images: jnp.ndarray, image_sizes: jnp.ndarray):
         """Init path: touch every submodule so all params are created."""
@@ -420,5 +624,8 @@ class WSRCNN(nn.Module):
         sup = self.supervised(bf)
         streams = self.weak_detector(wf)
         _ = self.weak_detector.evaluation(wf)
+        if self.mc.mask_on:
+            f4 = self.box_head(pooled, spatial_mean=False)
+            _ = self.mask_head(f4, return_delta=self.mc.mask_head_finetune)
         _ = self.embeddings
         return logits.shape, sup["delta_scores"].shape, streams["classifier_stream"].shape

@@ -117,4 +117,5 @@ def label_and_sample_proposals(
         gt_boxes=s_gt_boxes,
         valid=slot_valid,
         is_fg=s_is_fg,
+        gt_index=jnp.take(m.matches, order).astype(jnp.int32),
     )

@@ -71,6 +71,7 @@ class SampledProposals:
     gt_boxes: jnp.ndarray
     valid: jnp.ndarray
     is_fg: jnp.ndarray
+    gt_index: Optional[jnp.ndarray] = None  # [S] matched GT slot (for masks)
 
 
 @chex.dataclass
