@@ -30,7 +30,8 @@ def main():
 
     mc = _model_config(tiny=False)
     model = WSRCNN(mc=mc)
-    opt = optax.sgd(0.02, momentum=0.9)
+    # lr 0 keeps the same compute graph but avoids divergence on synthetic data
+    opt = optax.sgd(0.0, momentum=0.9)
 
     # per-chip batch: 2 strong + 2 weak images at the 800-canvas
     b = 2
@@ -57,15 +58,16 @@ def main():
     }
 
     step = make_train_step(model, opt)
-    # donation of state requires consistent buffers: run via explicit loop
     state, metrics = step(state, strong, weak, jax.random.PRNGKey(1))
-    jax.block_until_ready(metrics)
+    jax.block_until_ready((state, metrics))
 
     n_iter = 10
     t0 = time.perf_counter()
     for i in range(n_iter):
         state, metrics = step(state, strong, weak, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(metrics)
+    # block on the full state: blocking on the scalar metrics alone does not
+    # force the donated-state dependency chain on every platform
+    jax.block_until_ready((state, metrics))
     dt = time.perf_counter() - t0
 
     imgs_per_step = 2 * b  # strong + weak images both run the backbone

@@ -1,0 +1,164 @@
+// Native data-loading runtime: threaded JPEG decode + bilinear resize +
+// BGR-float canvas fill.
+//
+// TPU-native counterpart of the torch DataLoader C++ worker pool the reference
+// relies on (SURVEY.md §3.5 "DataLoader worker procs"): the Python host loop
+// hands a batch of file paths to `prepare_batch`, which decodes and resizes in
+// a std::thread pool and writes directly into the caller's pinned numpy
+// buffers, so the GIL is released for the whole batch.
+//
+// Exposed C ABI (consumed via ctypes from unit_tpu/data/native.py):
+//   decode_image_size(path, &h, &w)            -> 0 on success
+//   prepare_batch(paths, n, min_size, max_size, canvas_h, canvas_w,
+//                 out_images, out_sizes, out_scales, n_threads) -> #errors
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG file to interleaved RGB uint8. Returns false on failure.
+bool DecodeJpeg(const char* path, std::vector<unsigned char>* out, int* h,
+                int* w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  out->resize(static_cast<size_t>(*h) * (*w) * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    unsigned char* row = out->data() +
+                         static_cast<size_t>(cinfo.output_scanline) * (*w) * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+// Bilinear resize RGB uint8 -> BGR float32, written into a (canvas_h, canvas_w,
+// 3) zero-padded canvas.
+void ResizeToCanvas(const unsigned char* src, int sh, int sw, float* canvas,
+                    int canvas_h, int canvas_w, int nh, int nw) {
+  const float sy = static_cast<float>(sh) / nh;
+  const float sx = static_cast<float>(sw) / nw;
+  for (int y = 0; y < nh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    fy = std::max(fy, 0.0f);
+    int y0 = static_cast<int>(fy);
+    y0 = std::min(y0, sh - 1);
+    int y1 = std::min(y0 + 1, sh - 1);
+    float wy = fy - y0;
+    float* dst_row = canvas + static_cast<size_t>(y) * canvas_w * 3;
+    const unsigned char* r0 = src + static_cast<size_t>(y0) * sw * 3;
+    const unsigned char* r1 = src + static_cast<size_t>(y1) * sw * 3;
+    for (int x = 0; x < nw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      fx = std::max(fx, 0.0f);
+      int x0 = static_cast<int>(fx);
+      x0 = std::min(x0, sw - 1);
+      int x1 = std::min(x0 + 1, sw - 1);
+      float wx = fx - x0;
+      for (int c = 0; c < 3; ++c) {
+        float top = r0[x0 * 3 + c] * (1 - wx) + r0[x1 * 3 + c] * wx;
+        float bot = r1[x0 * 3 + c] * (1 - wx) + r1[x1 * 3 + c] * wx;
+        // RGB -> BGR channel swap (INPUT.FORMAT=BGR, caffe-style means)
+        dst_row[x * 3 + (2 - c)] = top * (1 - wy) + bot * wy;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int decode_image_size(const char* path, int* h, int* w) {
+  std::vector<unsigned char> buf;
+  return DecodeJpeg(path, &buf, h, w) ? 0 : 1;
+}
+
+// out_images: [n, canvas_h, canvas_w, 3] float32 zeroed by caller or here.
+// out_sizes:  [n, 2] float32 (new_h, new_w); out_scales: [n] float32.
+int prepare_batch(const char** paths, int n, int min_size, int max_size,
+                  int canvas_h, int canvas_w, float* out_images,
+                  float* out_sizes, float* out_scales, int n_threads) {
+  std::atomic<int> errors{0};
+  std::atomic<int> next{0};
+  const size_t img_stride = static_cast<size_t>(canvas_h) * canvas_w * 3;
+
+  auto worker = [&]() {
+    std::vector<unsigned char> rgb;
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int h = 0, w = 0;
+      float* canvas = out_images + i * img_stride;
+      std::memset(canvas, 0, img_stride * sizeof(float));
+      if (!DecodeJpeg(paths[i], &rgb, &h, &w)) {
+        errors.fetch_add(1);
+        out_sizes[i * 2] = 0;
+        out_sizes[i * 2 + 1] = 0;
+        out_scales[i] = 1.0f;
+        continue;
+      }
+      float scale = static_cast<float>(min_size) / std::min(h, w);
+      if (std::max(h, w) * scale > max_size) {
+        scale = static_cast<float>(max_size) / std::max(h, w);
+      }
+      int nh = std::min(static_cast<int>(std::lround(h * scale)), canvas_h);
+      int nw = std::min(static_cast<int>(std::lround(w * scale)), canvas_w);
+      nh = std::max(nh, 1);
+      nw = std::max(nw, 1);
+      ResizeToCanvas(rgb.data(), h, w, canvas, canvas_h, canvas_w, nh, nw);
+      out_sizes[i * 2] = static_cast<float>(nh);
+      out_sizes[i * 2 + 1] = static_cast<float>(nw);
+      out_scales[i] = scale;
+    }
+  };
+
+  int threads = std::max(1, std::min(n_threads, n));
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return errors.load();
+}
+
+}  // extern "C"

@@ -1,0 +1,52 @@
+"""Visual attention head: prototypes, likelihood, rank losses, meta train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unit_tpu.models.visual_attention import VisualAttentionHead, MetaAttention
+from unit_tpu.models import WSRCNN
+from tests.test_model_smoke import tiny_config, _strong_batch, _weak_batch
+
+
+def test_likelihood_prefers_own_prototype():
+    head = VisualAttentionHead(num_classes=3, depth=26, mode="mean")
+    d = 4
+    att = MetaAttention(
+        mean=jnp.asarray([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 0]]),
+        cov_inv=jnp.ones((4, d)),
+        logdet=jnp.zeros((4,)),
+    )
+    q = jnp.asarray([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    # likelihood is a pure function of the attention (no params involved)
+    sim = VisualAttentionHead.likelihood(head, att, q, np.asarray([0, 1, 2]))
+    sim = np.asarray(sim)
+    assert sim[0, 0] > sim[0, 1] and sim[0, 0] > sim[0, 2]
+    assert sim[1, 1] > sim[1, 0]
+
+
+@pytest.mark.slow
+def test_meta_train_step_with_rank_loss():
+    mc = tiny_config(use_meta=True, rank_loss_slots=8)
+    model = WSRCNN(mc=mc)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    sizes = jnp.asarray([[64, 64]], jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, sizes)
+    assert "visual_attention" in variables["params"]
+
+    c_base = len(mc.base_ids)
+    rng = np.random.RandomState(0)
+    meta = {
+        "image": jnp.asarray(rng.rand(c_base, 1, 32, 32, 3).astype(np.float32)),
+        "boxes": jnp.asarray(
+            np.tile(np.asarray([[4.0, 4.0, 28.0, 28.0]], np.float32), (c_base, 1, 1))
+        ),
+        "class_valid": jnp.ones((c_base,), bool),
+    }
+    losses = model.apply(
+        variables, jax.random.PRNGKey(1), _strong_batch(), _weak_batch(),
+        False, meta, method=WSRCNN.train_losses,
+    )
+    for k in ("loss_rank_margin", "loss_rank_reg", "loss_rank_cls"):
+        assert k in losses and np.isfinite(float(losses[k])), k

@@ -1,0 +1,83 @@
+"""ctypes bindings for the native C++ data-loading runtime (native/dataloader.cc).
+
+Provides a GIL-free threaded JPEG-decode + resize + canvas-fill path used by the
+host loaders when the shared library is available (built by ``make -C native``);
+falls back to the pure-Python PIL path otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "libunit_native.so"),
+]
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    for p in _LIB_PATHS:
+        p = os.path.abspath(p)
+        if os.path.exists(p):
+            try:
+                lib = ctypes.CDLL(p)
+            except OSError:
+                continue
+            lib.prepare_batch.restype = ctypes.c_int
+            lib.prepare_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ]
+            lib.decode_image_size.restype = ctypes.c_int
+            lib.decode_image_size.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            _LIB = lib
+            return lib
+    return None
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def prepare_batch_native(
+    paths: List[str],
+    min_size: int,
+    max_size: int,
+    canvas: Tuple[int, int],
+    n_threads: int = 8,
+):
+    """Decode+resize a batch of JPEGs into fixed-canvas BGR float32 arrays.
+
+    Returns (images [N, H, W, 3], sizes [N, 2], scales [N]); raises RuntimeError
+    if any file fails to decode.
+    """
+    lib = load_library()
+    assert lib is not None, "native library not built (make -C native)"
+    n = len(paths)
+    ch, cw = canvas
+    images = np.zeros((n, ch, cw, 3), np.float32)
+    sizes = np.zeros((n, 2), np.float32)
+    scales = np.zeros((n,), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    errs = lib.prepare_batch(
+        arr, n, min_size, max_size, ch, cw,
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    if errs:
+        raise RuntimeError(f"native batch decode failed for {errs}/{n} images")
+    return images, sizes, scales

@@ -44,6 +44,10 @@ class ModelConfig:
     """Static (hashable) model configuration distilled from the CfgNode."""
 
     meta_architecture: str = "WeaklySupervisedRCNNNoMeta"
+    backbone_name: str = "build_resnet_backbone"
+    backbone_dilated: bool = False
+    box_head_name: str = "Res5BoxHead"
+    rpn_conv_dim: int = 1024
     depth: int = 50
     num_classes: int = 20
     base_ids: Tuple[int, ...] = ()
@@ -80,6 +84,9 @@ class ModelConfig:
     mask_head_finetune: bool = False
     mask_num_conv: int = 0
     mask_fg_slots: int = 128   # static fg capacity for the mask loss (= S * pos_frac)
+    use_meta: bool = False             # WSROIHead (meta/support stream) vs NoMeta
+    attention_mode: str = "mean"       # VISUAL_ATTENTION_HEAD.NAME -> mean|mahalanobis
+    rank_loss_slots: int = 100         # proposals subsampled for the rank loss
     rpn: rpn_lib.RPNConfig = rpn_lib.RPNConfig()
     frcnn: frcnn.FastRCNNConfig = frcnn.FastRCNNConfig(num_classes=20)
     weak: weak_lib.WeakLossConfig = weak_lib.WeakLossConfig(num_classes=20)
@@ -104,6 +111,15 @@ class ModelConfig:
         weak_name = wd.NAME
         return cls(
             meta_architecture=cfg.MODEL.META_ARCHITECTURE,
+            backbone_name=cfg.MODEL.BACKBONE.NAME,
+            backbone_dilated=cfg.MODEL.BACKBONE.DILATED,
+            box_head_name=cfg.MODEL.ROI_BOX_HEAD.NAME,
+            rpn_conv_dim={
+                "build_resnet_backbone": 1024,
+                "build_vgg_backbone": 512,
+                "build_vgg_cnn_f_backbone": 256,
+                "build_inception_resnet_v2_backbone": 1088,
+            }.get(cfg.MODEL.BACKBONE.NAME, 1024),
             depth=cfg.MODEL.RESNETS.DEPTH,
             num_classes=num_classes,
             base_ids=tuple(cfg.DATASETS.FEWSHOT.BASE_CLASSES_ID),
@@ -141,6 +157,12 @@ class ModelConfig:
             ),
             remat_backbone=cfg.TPU.REMAT_BACKBONE,
             mask_on=cfg.MODEL.MASK_ON,
+            use_meta=cfg.MODEL.ROI_HEADS.NAME in ("WSROIHead", "WSROIHeadFineTuneMeta"),
+            attention_mode=(
+                "mahalanobis"
+                if "Mahalanobis" in cfg.MODEL.ROI_HEADS.VISUAL_ATTENTION_HEAD.NAME
+                else "mean"
+            ),
             mask_head_finetune="FineTune" in cfg.MODEL.ROI_MASK_HEAD.NAME,
             mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
             mask_fg_slots=int(
@@ -172,14 +194,32 @@ class WSRCNN(nn.Module):
 
     def setup(self):
         mc = self.mc
-        self.backbone = ResNetC4(depth=mc.depth, dtype=mc.dtype, name="backbone")
+        if mc.backbone_name == "build_resnet_backbone":
+            self.backbone = ResNetC4(depth=mc.depth, dtype=mc.dtype, name="backbone")
+        else:
+            from .backbones import BACKBONE_REGISTRY
+
+            cls = BACKBONE_REGISTRY.get(mc.backbone_name)
+            if mc.backbone_name == "build_vgg_backbone":
+                self.backbone = cls(dilated=mc.backbone_dilated, dtype=mc.dtype,
+                                    name="backbone")
+            else:
+                self.backbone = cls(dtype=mc.dtype, name="backbone")
         self.rpn_head = rpn_lib.RPNHead(
-            num_anchors=mc.rpn.num_cell_anchors, conv_dim=1024, dtype=mc.dtype,
-            name="rpn_head",
+            num_anchors=mc.rpn.num_cell_anchors, conv_dim=mc.rpn_conv_dim,
+            dtype=mc.dtype, name="rpn_head",
         )
-        self.box_head = Res5(depth=mc.depth, dtype=mc.dtype, name="box_head")
+
+        def make_box_head(name):
+            if mc.box_head_name in ("Res5BoxHead", "Res5BoxHeadWithMask", ""):
+                return Res5(depth=mc.depth, dtype=mc.dtype, name=name)
+            from .box_heads import BOX_HEAD_REGISTRY
+
+            return BOX_HEAD_REGISTRY.get(mc.box_head_name)(dtype=mc.dtype, name=name)
+
+        self.box_head = make_box_head("box_head")
         if mc.multi_box_head:
-            self.weak_box_head = Res5(depth=mc.depth, dtype=mc.dtype, name="weak_box_head")
+            self.weak_box_head = make_box_head("weak_box_head")
         self.supervised = SupervisedPredictor(
             num_classes=mc.num_classes,
             regression_branch=mc.regression_branch,
@@ -197,6 +237,19 @@ class WSRCNN(nn.Module):
             novel_ids=mc.novel_ids,
             name="weak_detector",
         )
+        if mc.use_meta:
+            from .visual_attention import VisualAttentionHead
+
+            self.visual_attention = VisualAttentionHead(
+                num_classes=mc.num_classes,
+                depth=mc.depth,
+                mode=mc.attention_mode,
+                pooler_resolution=mc.pooler_resolution,
+                pooler_scale=mc.pooler_scale,
+                sampling_ratio=mc.sampling_ratio,
+                dtype=mc.dtype,
+                name="visual_attention",
+            )
         if mc.mask_on:
             from .mask_head import MaskRCNNConvUpsampleHead
 
@@ -254,12 +307,28 @@ class WSRCNN(nn.Module):
         return jnp.mean(jnp.stack(ws), axis=0)
 
     # ---------------------------------------------------------------- training
+    def compute_meta_attention(self, support):
+        """Support stream -> per-class prototypes (process_meta_data,
+        rcnn.py:284-307 + visual_attention_head forward).
+
+        support: {image [C, K, h, w, 3], boxes [C, K, 4], class_valid [C]}
+        """
+        c, k = support["image"].shape[:2]
+        imgs = support["image"].reshape((-1,) + support["image"].shape[2:])
+        feats = self.features(imgs)
+        feats = feats.reshape((c, k) + feats.shape[1:])
+        return self.visual_attention.support_prototypes(
+            feats, support["boxes"], support["class_valid"],
+            np.asarray(self.mc.base_ids),
+        )
+
     def train_losses(
         self,
         rng: jax.Array,
         strong: Optional[Dict[str, jnp.ndarray]],
         weak: Optional[Dict[str, jnp.ndarray]],
         train_only_weak: bool = False,
+        meta: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Dict[str, jnp.ndarray]:
         """One training step's loss dict.
 
@@ -351,6 +420,22 @@ class WSRCNN(nn.Module):
             if mc.mask_on and "gt_masks" in strong:
                 losses["loss_mask"] = self._mask_loss(
                     feats4d, sampled, strong, box_feats, b
+                )
+
+            if mc.use_meta and meta is not None:
+                # rank loss over a proposal subsample (roi_heads.py:409-420)
+                attention = self.compute_meta_attention(meta)
+                ks = min(mc.rank_loss_slots, mc.roi_batch_size)
+                shp = pooled.shape[1:]
+                pooled_sel = pooled.reshape(b, mc.roi_batch_size, *shp)[:, :ks]
+                losses.update(
+                    self.visual_attention.rank_loss(
+                        pooled_sel.reshape((-1,) + shp),
+                        sampled.gt_classes[:, :ks].reshape(-1),
+                        sampled.valid[:, :ks].reshape(-1),
+                        attention,
+                        np.asarray(mc.base_ids),
+                    )
                 )
 
         if weak is not None:
@@ -526,6 +611,58 @@ class WSRCNN(nn.Module):
         masks = mask_lib.mask_rcnn_inference(logits, dets.classes.reshape(-1))
         return masks.reshape(b, d, *masks.shape[1:])
 
+    def predict_weak_only(
+        self, images: jnp.ndarray, image_sizes: jnp.ndarray
+    ) -> Detections:
+        """WeakRCNN inference (rcnn.py:21-185 non-TTA path): class probabilities
+        are the SUM of softmaxes over the OICR refinement heads
+        (weak_detector predict_probs, weak_detector_fast_rcnn.py:280-287)."""
+        mc = self.mc
+        feats = self.features(images)
+        logits, deltas = self.rpn(feats)
+        fh, fw = feats.shape[1], feats.shape[2]
+        anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
+        proposals = rpn_lib.select_proposals(
+            logits, deltas, anchors, image_sizes, mc.rpn, training=False
+        )
+        b, p = proposals.boxes.shape[:2]
+        pooled = self.pooled_rois(feats, proposals.boxes)
+        head = "weak" if mc.multi_box_head else "box"
+        weak_feats = self.box_features(pooled, head)
+        weak_scores, weak_box_deltas = self.weak_detector.evaluation(weak_feats)
+        probs = jnp.sum(jax.nn.softmax(weak_scores, axis=-1), axis=0)
+        if probs.shape[-1] == mc.num_classes:  # no bg column (MIL-only head)
+            probs = jnp.pad(probs, ((0, 0), (0, 1)))
+        probs = probs.reshape(b, p, -1)
+        bbox = weak_box_deltas.reshape(b, p, -1)
+        return jax.vmap(
+            lambda pr, bx, pb, pv, hw: frcnn.fast_rcnn_inference_single(
+                pr, bx, pb, pv, (hw[0], hw[1]), mc.frcnn
+            )
+        )(probs, bbox, proposals.boxes, proposals.valid, image_sizes)
+
+    def rpn_self_training_losses(
+        self, weak: Dict[str, jnp.ndarray], score_threshold: float = 0.99
+    ) -> Dict[str, jnp.ndarray]:
+        """WeaklySupervisedRCNNRPN (rcnn.py:544-705): the weak branch's own
+        high-confidence predictions, filtered to classes present in the image
+        labels (rcnn.py:593-599), become RPN pseudo-GT on the weak images."""
+        mc = self.mc
+        dets = self.predict_weak_only(weak["image"], weak["image_size"])
+        dets = jax.tree.map(jax.lax.stop_gradient, dets)
+        cls_in_image = jnp.take_along_axis(
+            weak["labels"], dets.classes, axis=1
+        ) > 0.5
+        keep = dets.valid & cls_in_image & (dets.scores > score_threshold)
+        pseudo = GTInstances(boxes=dets.boxes, classes=dets.classes, valid=keep)
+
+        feats_w = self.features(weak["image"])
+        logits_w, deltas_w = self.rpn(feats_w)
+        anchors_w = rpn_lib.get_anchors(feats_w.shape[1], feats_w.shape[2], mc.rpn)
+        key = jax.random.PRNGKey(0)
+        losses = rpn_lib.rpn_losses(key, logits_w, deltas_w, anchors_w, pseudo, mc.rpn)
+        return {f"{k}_weak": v for k, v in losses.items()}
+
     def predict_tta(
         self,
         variants,                      # list of dicts: {image, image_size, scale, flip}
@@ -627,5 +764,16 @@ class WSRCNN(nn.Module):
         if self.mc.mask_on:
             f4 = self.box_head(pooled, spatial_mean=False)
             _ = self.mask_head(f4, return_delta=self.mc.mask_head_finetune)
+        if self.mc.use_meta:
+            att = self.visual_attention.support_prototypes(
+                jnp.zeros((1, 1) + feats.shape[1:]),
+                jnp.asarray([[[0.0, 0.0, 32.0, 32.0]]]),
+                jnp.ones((1,), bool),
+                np.asarray([0]),
+            )
+            _ = self.visual_attention.rank_loss(
+                pooled[:1], jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool),
+                att, np.asarray(self.mc.base_ids),
+            )
         _ = self.embeddings
         return logits.shape, sup["delta_scores"].shape, streams["classifier_stream"].shape

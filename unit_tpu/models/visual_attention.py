@@ -1,0 +1,153 @@
+"""Visual attention (support-prototype) heads.
+
+Rebuild of /root/reference/modeling/roi_heads/visual_attention_head.py: support
+shots are ROI-pooled at their GT boxes through a dedicated meta box head; each
+class gets a prototype mean (plus a covariance estimate for the Mahalanobis
+variant); query ROIs are scored by Gaussian log-likelihood against the
+prototypes (:52-58), trained with the margin/regression/classification rank
+losses (:101-143).  ``MeanSimilarity`` (identity covariance, the default at
+configs/default_config.py:53) and ``MahalanobisSimilarity`` are supported;
+support batches are padded [C, K, ...] arrays with a per-class validity mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops import roi_align as roi_align_ops
+from .resnet import Res5
+
+
+@dataclasses.dataclass(frozen=True)
+class MetaAttention:
+    """Per-class prototypes: mean [C+1, D], cov_inv [C+1, D] (diagonal or
+    identity; the full-matrix estimate is reduced to its diagonal for TPU
+    memory sanity), logdet [C+1]."""
+
+    mean: jnp.ndarray
+    cov_inv: jnp.ndarray
+    logdet: jnp.ndarray
+
+
+class VisualAttentionHead(nn.Module):
+    """Meta box head + prototype construction + rank losses."""
+
+    num_classes: int
+    depth: int = 50
+    mode: str = "mean"          # 'mean' (identity cov) | 'mahalanobis'
+    pooler_resolution: int = 14
+    pooler_scale: float = 1.0 / 16.0
+    sampling_ratio: int = 2
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.meta_box_head = Res5(depth=self.depth, dtype=self.dtype, name="meta_box_head")
+        self.rank_loss_classifier = nn.Dense(
+            self.num_classes + 1, kernel_init=nn.initializers.normal(0.01),
+            bias_init=nn.initializers.zeros, name="rank_loss_classifier",
+        )
+
+    def query_features(self, pooled: jnp.ndarray) -> jnp.ndarray:
+        """Query ROI features through the (shared-arch, separate-params) meta
+        head; gradients flow into the meta head only (ref :81-84)."""
+        return self.meta_box_head(jax.lax.stop_gradient(pooled)).astype(jnp.float32)
+
+    def support_prototypes(
+        self,
+        support_feats: jnp.ndarray,   # [C, K, h, w, ch] backbone features of shots
+        support_boxes: jnp.ndarray,   # [C, K, 4] GT box per shot
+        class_valid: jnp.ndarray,     # [C] class has support
+        base_ids: np.ndarray,         # [C] dataset class id of each support row
+    ) -> MetaAttention:
+        """Per-class mean (+ diagonal covariance inverse) prototypes
+        (MeanSimilarity/MahalanobisSimilarity.forward)."""
+        c, k = support_feats.shape[:2]
+
+        def pool_one(feats, box):
+            return roi_align_ops.roi_align(
+                feats, box[None], self.pooler_resolution, self.pooler_scale,
+                self.sampling_ratio,
+            )[0]
+
+        pooled = jax.vmap(jax.vmap(pool_one))(support_feats, support_boxes)
+        d_feats = self.meta_box_head(
+            pooled.reshape((-1,) + pooled.shape[2:])
+        ).astype(jnp.float32)
+        d = d_feats.shape[-1]
+        per_class = d_feats.reshape(c, k, d)
+        means = jnp.mean(per_class, axis=1)  # [C, D]
+        if self.mode == "mahalanobis":
+            var = jnp.var(per_class, axis=1, ddof=1)  # diagonal covariance
+            cov_inv = 1.0 / (var + 1.0)  # ref adds identity before inversion
+        else:
+            cov_inv = jnp.ones_like(means)
+
+        n_total = self.num_classes + 1
+        mean_full = jnp.zeros((n_total, d)).at[base_ids].set(
+            jnp.where(class_valid[:, None], means, 0.0)
+        )
+        cov_full = jnp.zeros((n_total, d)).at[base_ids].set(cov_inv)
+        # background slot: zero mean, identity covariance (ref :88-91)
+        cov_full = cov_full.at[self.num_classes].set(1.0)
+        logdet = jnp.full((n_total,), -jnp.inf).at[base_ids].set(0.0)
+        logdet = logdet.at[self.num_classes].set(0.0)
+        return MetaAttention(mean=mean_full, cov_inv=cov_full, logdet=logdet)
+
+    def likelihood(self, attention: MetaAttention, query: jnp.ndarray,
+                   class_slots: np.ndarray) -> jnp.ndarray:
+        """Gaussian likelihood of query features under each selected class slot
+        (compute_similarity, ref :52-58). Returns [N, len(class_slots)]."""
+        d = query.shape[-1]
+        pi_normalizer = 0.5 * d * np.log(2 * np.pi)
+        mean = attention.mean[class_slots]
+        cov_inv = attention.cov_inv[class_slots]
+        logdet = attention.logdet[class_slots]
+        diff = query[:, None, :] - mean[None, :, :]
+        maha = jnp.sum(diff * diff * cov_inv[None], axis=-1)
+        log_lik = 0.5 * logdet[None] - pi_normalizer - 0.5 * maha
+        return jnp.exp(log_lik)
+
+    def rank_loss(
+        self,
+        pooled: jnp.ndarray,          # [N, P, P, ch] subsampled query ROI features
+        gt_classes: jnp.ndarray,      # [N]
+        valid: jnp.ndarray,           # [N]
+        attention: MetaAttention,
+        base_ids: np.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        """Margin + reg + prototype-classification losses (ref :101-143)."""
+        feats = self.query_features(pooled)
+        slots = np.concatenate([base_ids, [self.num_classes]])
+        base_sim = self.likelihood(attention, feats, slots)  # [N, B+1]
+        n = feats.shape[0]
+        sim_full = jnp.zeros((n, self.num_classes + 1)).at[:, slots].set(base_sim)
+
+        gt_scores = jnp.take_along_axis(sim_full, gt_classes[:, None], axis=1)
+        dist = gt_scores - sim_full
+        is_gt = jax.nn.one_hot(gt_classes, self.num_classes + 1) > 0
+        # hinge_embedding_loss(margin=0.5): x where label 1, max(0, 0.5 - x) else
+        margin = jnp.where(is_gt, dist, jnp.maximum(0.0, 0.5 - dist))
+        margin = margin[:, slots]
+        nval = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        margin_loss = jnp.sum(jnp.where(valid[:, None], margin, 0.0)) / (
+            nval * len(slots)
+        )
+        reg = jnp.maximum(0.0, 1.0 - gt_scores[:, 0])
+        reg_loss = jnp.sum(jnp.where(valid, reg, 0.0)) / nval
+
+        logits = self.rank_loss_classifier(attention.mean[slots])
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        cls_loss = -jnp.mean(
+            jnp.take_along_axis(logp, jnp.asarray(slots)[:, None], axis=1)
+        )
+        return {
+            "loss_rank_margin": margin_loss,
+            "loss_rank_reg": reg_loss,
+            "loss_rank_cls": cls_loss,
+        }
