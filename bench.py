@@ -30,8 +30,9 @@ def main():
 
     mc = _model_config(tiny=False)
     model = WSRCNN(mc=mc)
-    # lr 0 keeps the same compute graph but avoids divergence on synthetic data
-    opt = optax.sgd(0.0, momentum=0.9)
+    # tiny lr: keeps the full forward+backward+update graph (lr=0 would let XLA
+    # fold away the whole backward pass) without diverging on synthetic data
+    opt = optax.sgd(1e-6, momentum=0.9)
 
     # per-chip batch: 2 strong + 2 weak images at the 800-canvas
     b = 2

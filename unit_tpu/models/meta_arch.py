@@ -78,7 +78,7 @@ class ModelConfig:
     pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
     normalize_images: bool = False
     compute_dtype: str = "float32"
-    roi_align_impl: str = "xla"
+    roi_align_impl: str = "auto"   # pallas on TPU, xla elsewhere
     remat_backbone: bool = False
     mask_on: bool = False
     mask_head_finetune: bool = False
@@ -152,9 +152,7 @@ class ModelConfig:
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
             normalize_images=cfg.INPUT.NORMALIZE_IMAGES,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
-            roi_align_impl=(
-                "xla" if cfg.TPU.ROI_ALIGN_IMPL == "auto" else cfg.TPU.ROI_ALIGN_IMPL
-            ),
+            roi_align_impl=cfg.TPU.ROI_ALIGN_IMPL,
             remat_backbone=cfg.TPU.REMAT_BACKBONE,
             mask_on=cfg.MODEL.MASK_ON,
             use_meta=cfg.MODEL.ROI_HEADS.NAME in ("WSROIHead", "WSROIHeadFineTuneMeta"),

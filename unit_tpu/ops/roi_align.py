@@ -144,14 +144,16 @@ def roi_align(
     impl: str = "xla",
     chunk_size: int = 64,
 ) -> jnp.ndarray:
-    """Dispatching entry point. ``impl``: 'xla' (default, differentiable) or
-    'pallas' (TPU forward kernel with XLA custom VJP)."""
+    """Dispatching entry point. ``impl``: 'auto' (pallas on TPU, else xla),
+    'xla' (pure XLA, differentiable) or 'pallas' (TPU forward kernel with XLA
+    custom VJP)."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from .roi_align_pallas import roi_align_pallas
 
         return roi_align_pallas(
-            features, rois, output_size=output_size, spatial_scale=spatial_scale,
-            sampling_ratio=sampling_ratio, aligned=aligned,
+            features, rois, output_size, spatial_scale, sampling_ratio
         )
     return roi_align_xla(
         features, rois, output_size=output_size, spatial_scale=spatial_scale,
