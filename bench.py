@@ -59,16 +59,16 @@ def main():
     }
 
     step = make_train_step(model, opt)
-    state, metrics = step(state, strong, weak, jax.random.PRNGKey(1))
-    jax.block_until_ready((state, metrics))
+    state, metrics = step(state, strong, weak, None, jax.random.PRNGKey(1))
+    float(np.asarray(metrics["total_loss"]))  # host fetch = hard sync
 
     n_iter = 10
     t0 = time.perf_counter()
     for i in range(n_iter):
-        state, metrics = step(state, strong, weak, jax.random.PRNGKey(2 + i))
-    # block on the full state: blocking on the scalar metrics alone does not
-    # force the donated-state dependency chain on every platform
-    jax.block_until_ready((state, metrics))
+        state, metrics = step(state, strong, weak, None, jax.random.PRNGKey(2 + i))
+    # a real host fetch is the only reliable barrier on remote-attached TPUs
+    # (block_until_ready can return early through the tunnel)
+    float(np.asarray(metrics["total_loss"]))
     dt = time.perf_counter() - t0
 
     imgs_per_step = 2 * b  # strong + weak images both run the backbone

@@ -26,7 +26,7 @@ def test_dp_train_step_on_8_devices():
     strong = shard_batch(mesh, _strong_batch(b=8))
     weak = shard_batch(mesh, _weak_batch(b=8))
 
-    state2, metrics = step(state, strong, weak, jax.random.PRNGKey(1))
+    state2, metrics = step(state, strong, weak, None, jax.random.PRNGKey(1))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
     assert int(state2.step) == 1
@@ -34,7 +34,7 @@ def test_dp_train_step_on_8_devices():
     # params stay replicated and actually changed
     p_new = state2.params["supervised"]["cls_score_delta"]["bias"]
     assert p_new.sharding.is_fully_replicated
-    state3, _ = step(state2, strong, weak, jax.random.PRNGKey(2))
+    state3, _ = step(state2, strong, weak, None, jax.random.PRNGKey(2))
     assert int(state3.step) == 2
 
 
@@ -49,11 +49,11 @@ def test_dp_matches_single_device_loss():
 
     strong, weak = _strong_batch(b=8), _weak_batch(b=8)
     step1 = make_train_step(model, opt)
-    _, m1 = step1(state, strong, weak, jax.random.PRNGKey(7))
+    _, m1 = step1(state, strong, weak, None, jax.random.PRNGKey(7))
 
     state_r = replicate(mesh, create_train_state(model, opt, jax.random.PRNGKey(0)))
     step8 = make_train_step(model, opt, mesh=mesh)
-    _, m8 = step8(state_r, shard_batch(mesh, strong), shard_batch(mesh, weak),
+    _, m8 = step8(state_r, shard_batch(mesh, strong), shard_batch(mesh, weak), None,
                   jax.random.PRNGKey(7))
     for k in m1:
         np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-4, atol=1e-5)

@@ -1,0 +1,50 @@
+"""TTA inference path: shared proposals, score-sum/box-mean over variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unit_tpu.models import WSRCNN
+from tests.test_model_smoke import tiny_config, model_and_vars  # noqa: F401
+
+
+@pytest.mark.slow
+def test_predict_tta_runs_and_matches_single_variant(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+    sizes = jnp.asarray([[64, 64]], jnp.float32)
+
+    # one identity variant (scale 1, no flip): probs are softmax-summed over one
+    # variant = plain softmax, so detections should match predict() closely
+    variants = [{"image": img, "image_size": sizes, "scale": 1.0, "flip": False}]
+    det_tta = model.apply(
+        variables, img, sizes, variants, method=WSRCNN.predict_tta
+    )
+    det = model.apply(variables, img, sizes, method=WSRCNN.predict)
+    v1 = np.asarray(det_tta.valid)
+    v2 = np.asarray(det.valid)
+    assert v1.sum() == v2.sum()
+    if v1.any():
+        np.testing.assert_allclose(
+            np.asarray(det_tta.boxes)[v1], np.asarray(det.boxes)[v2], atol=1.0
+        )
+
+
+@pytest.mark.slow
+def test_predict_tta_flip_variant(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.RandomState(8)
+    img = np.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+    sizes = jnp.asarray([[64, 64]], jnp.float32)
+    flipped = img[:, :, ::-1].copy()
+    variants = [
+        {"image": jnp.asarray(img), "image_size": sizes, "scale": 1.0, "flip": False},
+        {"image": jnp.asarray(flipped), "image_size": sizes, "scale": 1.0, "flip": True},
+    ]
+    det = model.apply(
+        variables, jnp.asarray(img), sizes, variants, method=WSRCNN.predict_tta
+    )
+    assert np.isfinite(np.asarray(det.boxes)).all()
+    assert np.isfinite(np.asarray(det.scores)).all()

@@ -191,6 +191,151 @@ def _finalize_test_batch(batch):
     return out
 
 
+def build_tta_test_loader(cfg, dataset_name: str, image_loader=None):
+    """Test loader for TTA inference (TEST.AUG): per image, yields the canonical
+    batch plus one resized(+flipped) variant per TEST.AUG.MIN_SIZES entry
+    (WeakRCNN tta_fn semantics, rcnn.py:44-83).  Batch size is fixed at 1, as in
+    the reference's TTA path (rcnn.py:136)."""
+    from .transforms import (
+        TransformConfig, _canvas_for, prepare_detection_record,
+    )
+
+    records = DatasetCatalog.get(dataset_name)
+    base_t = TransformConfig.test_from_cfg(cfg)
+    variant_cfgs = []
+    for ms in cfg.TEST.AUG.MIN_SIZES:
+        t = TransformConfig(
+            min_sizes=(ms,), max_size=cfg.TEST.AUG.MAX_SIZE,
+            canvas=_canvas_for(ms, cfg.TEST.AUG.MAX_SIZE, cfg.TPU.SIZE_DIVISIBILITY),
+            flip=False, max_gt=base_t.max_gt, num_classes=base_t.num_classes,
+        )
+        variant_cfgs.append((t, False))
+        if cfg.TEST.AUG.FLIP:
+            variant_cfgs.append((t, True))
+    rng = np.random.RandomState(0)
+
+    def gen():
+        for rec in records:
+            from .transforms import load_image_bgr
+
+            img = image_loader(rec) if image_loader else load_image_bgr(rec["file_name"])
+            canonical = prepare_detection_record(rec, base_t, rng, image=img,
+                                                 training=False)
+            variants = []
+            for t, flip in variant_cfgs:
+                v = prepare_detection_record(rec, t, rng, image=img, training=False)
+                vimg = v["image"]
+                if flip:
+                    nh, nw = int(v["image_size"][0]), int(v["image_size"][1])
+                    vimg = vimg.copy()
+                    vimg[:nh, :nw] = vimg[:nh, :nw][:, ::-1]
+                variants.append({
+                    "image": vimg[None],
+                    "image_size": v["image_size"][None],
+                    "scale": float(v["scale"] / canonical["scale"]),
+                    "flip": flip,
+                })
+            yield {
+                "image": canonical["image"][None],
+                "image_size": canonical["image_size"][None],
+                "image_id": [canonical["image_id"]],
+                "scale": np.asarray([canonical["scale"]]),
+                "orig_size": canonical["orig_size"][None],
+                "variants": variants,
+            }
+
+    return gen(), len(records)
+
+
+class SupportLoader:
+    """Per-class k-shot support stream (SupportExamplesSampler +
+    MapSupportDataset, /root/reference/data/common.py:11-84).
+
+    Train mode: infinite random k shots per class each step; eval mode:
+    deterministic chunked sampling (common.py:43-56).  Yields
+    {image [C, K, h, w, 3], boxes [C, K, 4], class_valid [C]} — each shot
+    contributes its first GT box of that class, resized to the meta canvas
+    (MetaDatasetMapper semantics, data/dataset_mapper.py:12-30).
+    """
+
+    def __init__(
+        self,
+        records_by_class: dict,
+        class_ids: Sequence[int],
+        shots: int,
+        meta_size: int = 224,
+        seed: int = 0,
+        deterministic: bool = False,
+        image_loader: Optional[Callable[[dict], np.ndarray]] = None,
+    ):
+        self.by_class = records_by_class
+        self.class_ids = list(class_ids)
+        self.shots = shots
+        self.meta_size = meta_size
+        self.rng = np.random.RandomState(seed)
+        self.deterministic = deterministic
+        self.image_loader = image_loader
+        self._det_pos = {c: 0 for c in self.class_ids}
+
+    def _prepare_shot(self, rec, class_id):
+        from .transforms import load_image_bgr, resize_image
+
+        img = self.image_loader(rec) if self.image_loader else load_image_bgr(rec["file_name"])
+        h, w = img.shape[:2]
+        m = self.meta_size
+        out = resize_image(img.astype(np.float32), m, m)  # square meta resize
+        sy, sx = m / h, m / w
+        box = None
+        for ann in rec["annotations"]:
+            if ann["category_id"] == class_id:
+                b = ann["bbox"]
+                box = np.asarray([b[0] * sx, b[1] * sy, b[2] * sx, b[3] * sy], np.float32)
+                break
+        if box is None:
+            box = np.asarray([0, 0, m, m], np.float32)
+        return out, box
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+    def next_batch(self):
+        c = len(self.class_ids)
+        k = self.shots
+        m = self.meta_size
+        images = np.zeros((c, k, m, m, 3), np.float32)
+        boxes = np.zeros((c, k, 4), np.float32)
+        valid = np.zeros((c,), bool)
+        for ci, cls in enumerate(self.class_ids):
+            pool = self.by_class.get(cls, [])
+            if not pool:
+                continue
+            valid[ci] = True
+            if self.deterministic:
+                start = self._det_pos[cls]
+                idxs = [(start + i) % len(pool) for i in range(k)]
+                self._det_pos[cls] = (start + k) % len(pool)
+            else:
+                idxs = self.rng.randint(0, len(pool), size=k)
+            for ki, idx in enumerate(idxs):
+                images[ci, ki], boxes[ci, ki] = self._prepare_shot(pool[idx], cls)
+        return {"image": images, "boxes": boxes, "class_valid": valid}
+
+
+def build_support_loader(cfg, dataset_name: str = "voc_base_training_support",
+                         seed=2, deterministic=False, image_loader=None) -> SupportLoader:
+    by_class = DatasetCatalog.get(dataset_name)
+    return SupportLoader(
+        by_class,
+        class_ids=list(cfg.DATASETS.FEWSHOT.BASE_CLASSES_ID),
+        shots=cfg.DATASETS.BASE_META_SHOTS if deterministic else cfg.DATASETS.FEWSHOT.NUM_SHOTS,
+        meta_size=cfg.INPUT.META_MIN_SIZE,
+        seed=seed,
+        deterministic=deterministic,
+        image_loader=image_loader,
+    )
+
+
 class Prefetcher:
     """Background-thread prefetch of an iterator (replaces DataLoader workers)."""
 

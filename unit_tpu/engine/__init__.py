@@ -1,4 +1,5 @@
 from .train import (
+    Trainer,
     TrainState,
     TrainerBase,
     TrainerNoMeta,
@@ -10,6 +11,6 @@ from .train import (
 )
 
 __all__ = [
-    "TrainState", "TrainerBase", "TrainerNoMeta", "TrainerFineTune",
+    "TrainState", "Trainer", "TrainerBase", "TrainerNoMeta", "TrainerFineTune",
     "TrainerOnlyWeak", "create_train_state", "make_train_step", "make_predict_fn",
 ]

@@ -37,7 +37,13 @@ from ..models import ModelConfig, WSRCNN
 from ..parallel import make_mesh
 from ..solver import build_optimizer
 from ..utils.events import MetricsHook
-from .train import TrainerFineTune, TrainerNoMeta, TrainerOnlyWeak, make_predict_fn
+from .train import (
+    Trainer,
+    TrainerFineTune,
+    TrainerNoMeta,
+    TrainerOnlyWeak,
+    make_predict_fn,
+)
 
 logger = logging.getLogger("unit_tpu")
 
@@ -73,6 +79,8 @@ def trainer_class_for(cfg):
         return TrainerOnlyWeak
     if "FineTune" in cfg.MODEL.ROI_HEADS.FAST_RCNN.NAME:
         return TrainerFineTune
+    if cfg.MODEL.ROI_HEADS.NAME == "WSROIHead":
+        return Trainer  # meta/support-stream trainer (defaults.py:41-248)
     return TrainerNoMeta
 
 
@@ -89,8 +97,17 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0):
     if not cfg.DATASETS.TRAIN:
         raise ValueError("DATASETS.TRAIN is empty")
     strong_iter = Prefetcher(iter(build_strong_loader(cfg, seed=seed)))
-    if trainer_cls is TrainerNoMeta or trainer_cls is TrainerOnlyWeak:
+    meta_iter = None
+    if trainer_cls in (TrainerNoMeta, TrainerOnlyWeak, Trainer):
         weak_iter = Prefetcher(iter(build_classifier_loader(cfg, seed=seed + 1)))
+    if trainer_cls is Trainer:
+        from ..data.loader import build_support_loader
+
+        support_name = {
+            "VOC": "voc_base_training_support",
+            "COCO": "coco_base_training_support",
+        }.get(cfg.DATASETS.FEWSHOT.TYPE, "voc_base_training_support")
+        meta_iter = iter(build_support_loader(cfg, support_name, seed=seed + 2))
 
     # optimizer over a params template
     from .train import create_train_state
@@ -102,7 +119,7 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0):
 
     trainer = trainer_cls(
         model, optimizer, strong_iter=strong_iter, weak_iter=weak_iter,
-        rng=jax.random.PRNGKey(seed), mesh=mesh,
+        meta_iter=meta_iter, rng=jax.random.PRNGKey(seed), mesh=mesh,
     )
     return model, optimizer, trainer, mesh
 
@@ -130,24 +147,78 @@ def load_initial_weights(cfg, params):
     return params
 
 
-def make_eval_fn(cfg, model, mesh=None):
-    mc = model.mc
+def make_eval_fn(cfg, model, mesh=None, image_loader=None):
+    from ..models import WSRCNN
+
+    use_tta = cfg.TEST.AUG.ENABLED
+
     predict = make_predict_fn(model)
+    if use_tta:
+        # flip flags must be compile-time constants; scales/images are traced
+        flips = []
+        for _ in cfg.TEST.AUG.MIN_SIZES:
+            flips.append(False)
+            if cfg.TEST.AUG.FLIP:
+                flips.append(True)
+        flips = tuple(flips)
+
+        @jax.jit
+        def tta_fn(params, cimg, csz, var_arrays):
+            variants = [
+                {"image": im, "image_size": sz, "scale": sc, "flip": fl}
+                for (im, sz, sc), fl in zip(var_arrays, flips)
+            ]
+            return model.apply(
+                {"params": params}, cimg, csz, variants, method=WSRCNN.predict_tta
+            )
 
     def eval_fn(state):
         results = {}
         for name in cfg.DATASETS.TEST:
-            loader, n = build_test_loader(cfg, name)
             evaluator = get_evaluator(cfg, name)
             for rec in DatasetCatalog.get(name):
                 evaluator.process_gt_record(rec)
             params = state.params if hasattr(state, "params") else state
-            results = inference_on_dataset(
-                lambda im, sz: predict(params, im, sz), loader, evaluator, n
-            )
+            if use_tta:
+                from ..data.loader import build_tta_test_loader
+
+                loader, n = build_tta_test_loader(cfg, name, image_loader)
+
+                def predict_batch(batch):
+                    var_arrays = [
+                        (v["image"], v["image_size"], np.float32(v["scale"]))
+                        for v in batch["variants"]
+                    ]
+                    return tta_fn(
+                        params, batch["image"], batch["image_size"], var_arrays
+                    )
+
+                results = _run_tta_eval(predict_batch, loader, evaluator, n)
+            else:
+                loader, n = build_test_loader(cfg, name, image_loader=image_loader)
+                results = inference_on_dataset(
+                    lambda im, sz: predict(params, im, sz), loader, evaluator, n
+                )
         return results
 
     return eval_fn
+
+
+def _run_tta_eval(predict_batch, loader, evaluator, total):
+    import numpy as np
+
+    evaluator.reset()
+    for batch in loader:
+        det = predict_batch(batch)
+        boxes = np.asarray(det.boxes)[0] / batch["scale"][0]
+        oh, ow = batch["orig_size"][0]
+        boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, ow)
+        boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, oh)
+        evaluator.process(
+            batch["image_id"][0], boxes, np.asarray(det.scores)[0],
+            np.asarray(det.classes)[0], np.asarray(det.valid)[0],
+        )
+    return evaluator.evaluate()
 
 
 def run(args):

@@ -53,11 +53,11 @@ def make_train_step(
     XLA inserts the gradient all-reduce (replaces DDP, engine/defaults.py:282-285).
     """
 
-    def step_fn(state: TrainState, strong, weak, rng):
+    def step_fn(state: TrainState, strong, weak, meta, rng):
         def loss_fn(params):
             losses = model.apply(
                 {"params": params}, rng, strong, weak,
-                train_only_weak=train_only_weak,
+                train_only_weak=train_only_weak, meta=meta,
                 method=WSRCNN.train_losses,
             )
             total = jnp.asarray(0.0)
@@ -86,7 +86,7 @@ def make_train_step(
     return jax.jit(
         step_fn,
         donate_argnums=(0,),
-        in_shardings=(repl, data, data, repl),
+        in_shardings=(repl, data, data, repl, repl),
         out_shardings=(repl, repl),
     )
 
@@ -115,6 +115,7 @@ class TrainerBase:
         optimizer,
         strong_iter: Optional[Iterator] = None,
         weak_iter: Optional[Iterator] = None,
+        meta_iter: Optional[Iterator] = None,
         rng: Optional[jax.Array] = None,
         mesh=None,
         train_only_weak: bool = False,
@@ -123,6 +124,7 @@ class TrainerBase:
         self.optimizer = optimizer
         self.strong_iter = strong_iter
         self.weak_iter = weak_iter
+        self.meta_iter = meta_iter
         self.mesh = mesh
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.train_step = make_train_step(
@@ -141,17 +143,20 @@ class TrainerBase:
     def _next_batches(self):
         strong = next(self.strong_iter) if self.strong_iter is not None else None
         weak = next(self.weak_iter) if self.weak_iter is not None else None
-        return strong, weak
+        meta = next(self.meta_iter) if self.meta_iter is not None else None
+        return strong, weak, meta
 
     def run_step(self) -> Dict[str, float]:
         t0 = time.perf_counter()
-        strong, weak = self._next_batches()
+        strong, weak, meta = self._next_batches()
         data_time = time.perf_counter() - t0
         if self.mesh is not None:
             strong = mesh_lib.shard_batch(self.mesh, strong) if strong else None
             weak = mesh_lib.shard_batch(self.mesh, weak) if weak else None
+            # the support stream is replicated, not batch-sharded
+            meta = mesh_lib.replicate(self.mesh, meta) if meta else None
         step_rng = jax.random.fold_in(self.rng, int(self.state.step))
-        self.state, metrics = self.train_step(self.state, strong, weak, step_rng)
+        self.state, metrics = self.train_step(self.state, strong, weak, meta, step_rng)
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["data_time"] = data_time
         self.metrics_history.append(metrics)
@@ -168,6 +173,12 @@ class TrainerBase:
 
 class TrainerNoMeta(TrainerBase):
     """Base training: strong query + weak classifier streams (defaults.py:266-288)."""
+
+
+class Trainer(TrainerBase):
+    """Full meta-learning trainer (defaults.py:41-248): strong + weak + per-class
+    support streams; the support batch feeds the visual-attention prototypes and
+    the rank loss each step."""
 
 
 class TrainerFineTune(TrainerBase):

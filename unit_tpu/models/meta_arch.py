@@ -84,6 +84,7 @@ class ModelConfig:
     mask_head_finetune: bool = False
     mask_num_conv: int = 0
     mask_fg_slots: int = 128   # static fg capacity for the mask loss (= S * pos_frac)
+    load_proposals: bool = False       # precomputed (MCG) proposals, no RPN
     use_meta: bool = False             # WSROIHead (meta/support stream) vs NoMeta
     attention_mode: str = "mean"       # VISUAL_ATTENTION_HEAD.NAME -> mean|mahalanobis
     rank_loss_slots: int = 100         # proposals subsampled for the rank loss
@@ -155,6 +156,7 @@ class ModelConfig:
             roi_align_impl=cfg.TPU.ROI_ALIGN_IMPL,
             remat_backbone=cfg.TPU.REMAT_BACKBONE,
             mask_on=cfg.MODEL.MASK_ON,
+            load_proposals=cfg.MODEL.LOAD_PROPOSALS,
             use_meta=cfg.MODEL.ROI_HEADS.NAME in ("WSROIHead", "WSROIHeadFineTuneMeta"),
             attention_mode=(
                 "mahalanobis"
@@ -438,18 +440,23 @@ class WSRCNN(nn.Module):
 
         if weak is not None:
             feats_w = self.features(weak["image"])
-            logits_w, deltas_w = self.rpn(feats_w)
-            fh, fw = feats_w.shape[1], feats_w.shape[2]
-            anchors_w = rpn_lib.get_anchors(fh, fw, mc.rpn)
-            props_w = rpn_lib.select_proposals(
-                jax.lax.stop_gradient(logits_w),
-                jax.lax.stop_gradient(deltas_w),
-                anchors_w, weak["image_size"], mc.rpn, training=True,
-            )
-            # top-(bspi // weak_divisor) proposals (roi_heads.py:566-572)
             pw = mc.weak_proposal_count
-            w_boxes = props_w.boxes[:, :pw]
-            w_valid = props_w.valid[:, :pw]
+            if mc.load_proposals and "proposals" in weak:
+                # precomputed (MCG) proposals, MODEL.LOAD_PROPOSALS path
+                w_boxes = weak["proposals"][:, :pw]
+                w_valid = weak["proposals_valid"][:, :pw]
+            else:
+                logits_w, deltas_w = self.rpn(feats_w)
+                fh, fw = feats_w.shape[1], feats_w.shape[2]
+                anchors_w = rpn_lib.get_anchors(fh, fw, mc.rpn)
+                props_w = rpn_lib.select_proposals(
+                    jax.lax.stop_gradient(logits_w),
+                    jax.lax.stop_gradient(deltas_w),
+                    anchors_w, weak["image_size"], mc.rpn, training=True,
+                )
+                # top-(bspi // weak_divisor) proposals (roi_heads.py:566-572)
+                w_boxes = props_w.boxes[:, :pw]
+                w_valid = props_w.valid[:, :pw]
             pooled_w = self.pooled_rois(feats_w, w_boxes)
             head = "weak" if mc.multi_box_head else "box"
             weak_feats = self.box_features(pooled_w, head)
@@ -610,19 +617,22 @@ class WSRCNN(nn.Module):
         return masks.reshape(b, d, *masks.shape[1:])
 
     def predict_weak_only(
-        self, images: jnp.ndarray, image_sizes: jnp.ndarray
+        self, images: jnp.ndarray, image_sizes: jnp.ndarray, proposals=None
     ) -> Detections:
         """WeakRCNN inference (rcnn.py:21-185 non-TTA path): class probabilities
         are the SUM of softmaxes over the OICR refinement heads
-        (weak_detector predict_probs, weak_detector_fast_rcnn.py:280-287)."""
+        (weak_detector predict_probs, weak_detector_fast_rcnn.py:280-287).
+        ``proposals`` (a Proposals pytree) overrides the RPN when the dataset
+        carries precomputed MCG proposals (MODEL.LOAD_PROPOSALS)."""
         mc = self.mc
         feats = self.features(images)
-        logits, deltas = self.rpn(feats)
-        fh, fw = feats.shape[1], feats.shape[2]
-        anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
-        proposals = rpn_lib.select_proposals(
-            logits, deltas, anchors, image_sizes, mc.rpn, training=False
-        )
+        if proposals is None:
+            logits, deltas = self.rpn(feats)
+            fh, fw = feats.shape[1], feats.shape[2]
+            anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
+            proposals = rpn_lib.select_proposals(
+                logits, deltas, anchors, image_sizes, mc.rpn, training=False
+            )
         b, p = proposals.boxes.shape[:2]
         pooled = self.pooled_rois(feats, proposals.boxes)
         head = "weak" if mc.multi_box_head else "box"
@@ -663,21 +673,22 @@ class WSRCNN(nn.Module):
 
     def predict_tta(
         self,
+        canonical_image: jnp.ndarray,        # [B, H, W, 3] MIN_SIZE_TEST frame
+        canonical_image_sizes: jnp.ndarray,  # [B, 2] true size in that frame
         variants,                      # list of dicts: {image, image_size, scale, flip}
-        canonical_image_sizes: jnp.ndarray,  # [B, 2] true size of variant 0
         with_transfer: bool = True,
     ) -> Detections:
         """Multi-scale + flip test-time augmentation (rcnn.py:136-185).
 
-        Proposals are generated once on the canonical (first) variant; for every
-        variant the proposals are rescaled/flipped into its frame, ROI-pooled and
+        Proposals are generated once on the canonical image; for every variant
+        the proposals are rescaled/flipped into its frame, ROI-pooled and
         scored; class probabilities are SUMMED over variants and box deltas are
         AVERAGED (with dx mirrored back for flipped variants — the one deliberate
         fix over the reference, which averages raw flipped deltas), then decoded
         on the canonical proposals and run through one NMS pass.
         """
         mc = self.mc
-        feats0 = self.features(variants[0]["image"])
+        feats0 = self.features(canonical_image)
         logits, deltas = self.rpn(feats0)
         fh, fw = feats0.shape[1], feats0.shape[2]
         anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
@@ -699,7 +710,7 @@ class WSRCNN(nn.Module):
                 boxes_v = jnp.stack(
                     [x1, boxes_v[:, :, 1], x2, boxes_v[:, :, 3]], axis=-1
                 )
-            feats_v = feats0 if vi == 0 else self.features(var["image"])
+            feats_v = self.features(var["image"])
             pooled = self.pooled_rois(feats_v, boxes_v)
             box_feats = self.box_features(pooled, "box")
             sup = self.supervised(box_feats)
