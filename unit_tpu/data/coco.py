@@ -160,6 +160,20 @@ class RegisterCOCO:
             ann, img = self._paths("train2017")
             return load_coco_json(ann, img, None, False)
 
+        def support():
+            ann, img = self._paths("train2017")
+            recs = load_coco_json(ann, img, self.base_ids, False)
+            by_class = {c: [] for c in self.base_ids}
+            for rec in recs:
+                for c in {a["category_id"] for a in rec["annotations"]}:
+                    if c in by_class:
+                        by_class[c].append(rec)
+            return by_class
+
+        DatasetCatalog.register(
+            "coco_base_training_support", support,
+            overwrite="coco_base_training_support" in DatasetCatalog,
+        )
         self._register("coco_base_training_query_train", base_train)
         self._register("coco_base_training_query_val", val)
         self._register("coco_fine_tuning_query_train", ft_train)

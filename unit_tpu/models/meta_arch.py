@@ -158,11 +158,12 @@ class ModelConfig:
             mask_on=cfg.MODEL.MASK_ON,
             load_proposals=cfg.MODEL.LOAD_PROPOSALS,
             use_meta=cfg.MODEL.ROI_HEADS.NAME in ("WSROIHead", "WSROIHeadFineTuneMeta"),
-            attention_mode=(
-                "mahalanobis"
-                if "Mahalanobis" in cfg.MODEL.ROI_HEADS.VISUAL_ATTENTION_HEAD.NAME
-                else "mean"
-            ),
+            attention_mode={
+                "MahalanobisSimilarity": "mahalanobis",
+                "MeanSimilarity": "mean",
+                "MeanMatrixSimilarity": "matrix",
+                "MeanMatrixSimilarityLocatron": "matrix",
+            }.get(cfg.MODEL.ROI_HEADS.VISUAL_ATTENTION_HEAD.NAME, "mean"),
             mask_head_finetune="FineTune" in cfg.MODEL.ROI_MASK_HEAD.NAME,
             mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
             mask_fg_slots=int(
@@ -341,7 +342,9 @@ class WSRCNN(nn.Module):
         k_rpn, k_sample = jax.random.split(rng)
 
         supervised_weak_scores = None
-        if strong is not None and not train_only_weak:
+        if strong is not None:
+            # The RPN always trains on the strong batch — including the
+            # weak-only WeakRCNN phase (rcnn.py:96-134) and TRAIN_ONLY_WEAK.
             feats = self.features(strong["image"])
             logits, deltas = self.rpn(feats)
             fh, fw = feats.shape[1], feats.shape[2]
@@ -354,6 +357,7 @@ class WSRCNN(nn.Module):
             losses.update(
                 rpn_lib.rpn_losses(k_rpn, logits, deltas, anchors, gt, mc.rpn)
             )
+        if strong is not None and not train_only_weak:
             proposals = rpn_lib.select_proposals(
                 jax.lax.stop_gradient(logits),
                 jax.lax.stop_gradient(deltas),

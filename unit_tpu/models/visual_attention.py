@@ -52,11 +52,25 @@ class VisualAttentionHead(nn.Module):
             self.num_classes + 1, kernel_init=nn.initializers.normal(0.01),
             bias_init=nn.initializers.zeros, name="rank_loss_classifier",
         )
+        if self.mode == "matrix":
+            # learned similarity matrix, identity init (MeanMatrixSimilarity,
+            # ref :212-216)
+            self.sim_matrix = nn.Dense(
+                2048 if self.depth >= 50 else 2048, use_bias=False,
+                kernel_init=lambda key, shape, dtype=jnp.float32: jnp.eye(
+                    shape[0], shape[1], dtype=dtype
+                ),
+                name="sim_matrix",
+            )
 
     def query_features(self, pooled: jnp.ndarray) -> jnp.ndarray:
         """Query ROI features through the (shared-arch, separate-params) meta
-        head; gradients flow into the meta head only (ref :81-84)."""
-        return self.meta_box_head(jax.lax.stop_gradient(pooled)).astype(jnp.float32)
+        head; gradients flow into the meta head only (ref :81-84).  The matrix
+        variant L2-normalizes (ref :231-236)."""
+        f = self.meta_box_head(jax.lax.stop_gradient(pooled)).astype(jnp.float32)
+        if self.mode == "matrix":
+            f = f / jnp.clip(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-6)
+        return f
 
     def support_prototypes(
         self,
@@ -82,6 +96,10 @@ class VisualAttentionHead(nn.Module):
         d = d_feats.shape[-1]
         per_class = d_feats.reshape(c, k, d)
         means = jnp.mean(per_class, axis=1)  # [C, D]
+        if self.mode == "matrix":
+            # learned-matrix transform + cosine normalization (ref :299-301)
+            means = self.sim_matrix(means)
+            means = means / jnp.clip(jnp.linalg.norm(means, -1, keepdims=True), 1e-6)
         if self.mode == "mahalanobis":
             var = jnp.var(per_class, axis=1, ddof=1)  # diagonal covariance
             cov_inv = 1.0 / (var + 1.0)  # ref adds identity before inversion
@@ -104,8 +122,11 @@ class VisualAttentionHead(nn.Module):
         """Gaussian likelihood of query features under each selected class slot
         (compute_similarity, ref :52-58). Returns [N, len(class_slots)]."""
         d = query.shape[-1]
-        pi_normalizer = 0.5 * d * np.log(2 * np.pi)
         mean = attention.mean[class_slots]
+        if self.mode == "matrix":
+            # cosine similarity with relu (MeanMatrixSimilarity.compute_similarity)
+            return jax.nn.relu(query @ mean.T)
+        pi_normalizer = 0.5 * d * np.log(2 * np.pi)
         cov_inv = attention.cov_inv[class_slots]
         logdet = attention.logdet[class_slots]
         diff = query[:, None, :] - mean[None, :, :]
@@ -121,12 +142,25 @@ class VisualAttentionHead(nn.Module):
         attention: MetaAttention,
         base_ids: np.ndarray,
     ) -> Dict[str, jnp.ndarray]:
-        """Margin + reg + prototype-classification losses (ref :101-143)."""
+        """Margin + reg + prototype-classification losses (ref :101-143; the
+        matrix variant's -2 fill / 0.5 bg and fg-masked reg loss, :249-281)."""
         feats = self.query_features(pooled)
-        slots = np.concatenate([base_ids, [self.num_classes]])
-        base_sim = self.likelihood(attention, feats, slots)  # [N, B+1]
+        is_matrix = self.mode == "matrix"
+        slots = (
+            np.asarray(base_ids)
+            if is_matrix
+            else np.concatenate([base_ids, [self.num_classes]])
+        )
+        base_sim = self.likelihood(attention, feats, slots)
         n = feats.shape[0]
-        sim_full = jnp.zeros((n, self.num_classes + 1)).at[:, slots].set(base_sim)
+        fill = -2.0 if is_matrix else 0.0
+        sim_full = jnp.full((n, self.num_classes + 1), fill)
+        if is_matrix:
+            # background contribution 0.5 at the gt slot (ref :262-263)
+            sim_full = sim_full.at[
+                jnp.arange(n), gt_classes
+            ].set(0.5)
+        sim_full = sim_full.at[:, slots].set(base_sim)
 
         gt_scores = jnp.take_along_axis(sim_full, gt_classes[:, None], axis=1)
         dist = gt_scores - sim_full
@@ -139,7 +173,12 @@ class VisualAttentionHead(nn.Module):
             nval * len(slots)
         )
         reg = jnp.maximum(0.0, 1.0 - gt_scores[:, 0])
-        reg_loss = jnp.sum(jnp.where(valid, reg, 0.0)) / nval
+        reg_valid = valid
+        if is_matrix:  # only fg examples (ref :272-275)
+            reg_valid = valid & (gt_classes < self.num_classes)
+        reg_loss = jnp.sum(jnp.where(reg_valid, reg, 0.0)) / jnp.maximum(
+            jnp.sum(reg_valid.astype(jnp.float32)), 1.0
+        )
 
         logits = self.rank_loss_classifier(attention.mean[slots])
         logp = jax.nn.log_softmax(logits, axis=-1)
