@@ -23,6 +23,8 @@ class TransformConfig:
     flip: bool = True
     max_gt: int = 100
     num_classes: int = 20
+    with_masks: bool = False
+    mask_size: int = 28                       # GT-box-frame mask resolution
 
     @classmethod
     def train_from_cfg(cls, cfg) -> "TransformConfig":
@@ -35,6 +37,7 @@ class TransformConfig:
             min_sizes=tuple(min_sizes), max_size=max_size, canvas=canvas,
             flip=cfg.INPUT.RANDOM_FLIP != "none", max_gt=cfg.TPU.MAX_GT_BOXES,
             num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+            with_masks=cfg.MODEL.MASK_ON,
         )
 
     @classmethod
@@ -116,12 +119,13 @@ def prepare_detection_record(
         [a["category_id"] for a in record.get("annotations", [])], np.int64
     )
 
-    if training and tcfg.flip and rng.rand() < 0.5:
+    flipped = training and tcfg.flip and rng.rand() < 0.5
+    if flipped:
         img = img[:, ::-1]
         if len(boxes):
             x1 = new_w - boxes[:, 2]
             x2 = new_w - boxes[:, 0]
-            boxes[:, 0], boxes[:, 2] = x1, x2
+            boxes[:, 0], boxes[:, 2] = x1.copy(), x2.copy()
 
     canvas = np.zeros((ch, cw, 3), np.float32)
     canvas[:new_h, :new_w] = img[:new_h, :new_w]
@@ -136,12 +140,24 @@ def prepare_detection_record(
         gt_classes[:n] = classes[:n]
         gt_valid[:n] = True
 
+    gt_masks = None
+    if tcfg.with_masks:
+        m = tcfg.mask_size
+        gt_masks = np.zeros((g, m, m), np.float32)
+        for i, ann in enumerate(record.get("annotations", [])[:g]):
+            bm = ann.get("box_mask")
+            if bm is not None:
+                bm = bm.astype(np.float32)
+                # GT-box-frame masks are resize-invariant; flipping the image
+                # mirrors the mask along x
+                gt_masks[i] = bm[:, ::-1] if flipped else bm
+
     labels = np.zeros((tcfg.num_classes,), np.float32)
     for c in classes:
         if 0 <= c < tcfg.num_classes:
             labels[c] = 1.0
 
-    return {
+    out = {
         "image": canvas,
         "image_size": np.asarray([new_h, new_w], np.float32),
         "gt_boxes": gt_boxes,
@@ -152,6 +168,9 @@ def prepare_detection_record(
         "image_id": record.get("image_id", ""),
         "orig_size": np.asarray([h, w], np.float32),
     }
+    if gt_masks is not None:
+        out["gt_masks"] = gt_masks
+    return out
 
 
 def collate(samples: List[dict], keys: Sequence[str]) -> dict:

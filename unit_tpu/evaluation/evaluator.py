@@ -34,6 +34,7 @@ def inference_on_dataset(
         scores = np.asarray(det.scores)
         classes = np.asarray(det.classes)
         valid = np.asarray(det.valid)
+        masks = np.asarray(det.masks) if det.masks is not None else None
         dt = time.perf_counter() - t0
         if batch_idx >= warmup:
             total_time += dt
@@ -46,7 +47,11 @@ def inference_on_dataset(
             b = boxes[i] / scale
             b[:, 0::2] = np.clip(b[:, 0::2], 0, ow)
             b[:, 1::2] = np.clip(b[:, 1::2], 0, oh)
-            evaluator.process(image_id, b, scores[i], classes[i], valid[i])
+            if masks is not None:
+                evaluator.process(image_id, b, scores[i], classes[i], valid[i],
+                                  masks=masks[i])
+            else:
+                evaluator.process(image_id, b, scores[i], classes[i], valid[i])
             num_done += 1
         if total_images and batch_idx % 50 == 0 and num_done > warmup:
             per_img = total_time / max(num_done - warmup, 1)

@@ -130,7 +130,7 @@ class PascalVOCEvaluator:
                 "difficult": np.asarray([d for _, d in items], bool),
             }
 
-    def process(self, image_id: str, boxes, scores, classes, valid):
+    def process(self, image_id: str, boxes, scores, classes, valid, masks=None):
         """Register one image's padded detections (original-image coordinates)."""
         boxes = np.asarray(boxes)
         scores = np.asarray(scores)

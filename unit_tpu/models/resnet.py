@@ -45,6 +45,13 @@ class FrozenBN(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
+        if self.is_mutable_collection("bn_stats"):
+            # PreciseBN support (SURVEY.md §7.3 "BN handling"): capture this
+            # batch's input statistics so utils.precise_bn can refresh the
+            # frozen mean/var over N batches (d2 PreciseBN hook equivalent).
+            axes = tuple(range(x.ndim - 1))
+            self.sow("bn_stats", "batch_mean", jnp.mean(x, axis=axes))
+            self.sow("bn_stats", "batch_var", jnp.var(x, axis=axes))
         scale = weight * jnp.asarray(1.0, jnp.float32) / jnp.sqrt(var + self.eps)
         shift = bias - mean * scale
         return x * scale.astype(self.dtype) + shift.astype(self.dtype)
