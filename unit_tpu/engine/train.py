@@ -92,10 +92,15 @@ def make_train_step(
 
 
 def make_predict_fn(model: WSRCNN, mesh=None) -> Callable:
+    # WeakRCNN configs score with the weak detector alone (rcnn.py:21-185)
+    method = (
+        WSRCNN.predict_weak_only
+        if model.mc.meta_architecture == "WeakRCNN"
+        else WSRCNN.predict
+    )
+
     def predict_fn(params, images, image_sizes):
-        return model.apply(
-            {"params": params}, images, image_sizes, method=WSRCNN.predict
-        )
+        return model.apply({"params": params}, images, image_sizes, method=method)
 
     if mesh is None:
         return jax.jit(predict_fn)

@@ -191,6 +191,17 @@ def build_resnet(cfg, dtype):
     )
 
 
+# aliases matching the reference's registry names (backbone.py:58,82,103)
+BACKBONE_REGISTRY.register(BACKBONE_REGISTRY.get("build_vgg_backbone"), name="VGG")
+BACKBONE_REGISTRY.register(
+    BACKBONE_REGISTRY.get("build_vgg_cnn_f_backbone"), name="VGG_CNN_F"
+)
+BACKBONE_REGISTRY.register(
+    BACKBONE_REGISTRY.get("build_inception_resnet_v2_backbone"),
+    name="InceptionResNetV2",
+)
+
+
 def build_backbone(cfg, dtype, name: str | None = None):
     key = name or cfg.MODEL.BACKBONE.NAME
     entry = BACKBONE_REGISTRY.get(key)

@@ -118,8 +118,11 @@ class ModelConfig:
             rpn_conv_dim={
                 "build_resnet_backbone": 1024,
                 "build_vgg_backbone": 512,
+                "VGG": 512,
                 "build_vgg_cnn_f_backbone": 256,
+                "VGG_CNN_F": 256,
                 "build_inception_resnet_v2_backbone": 1088,
+                "InceptionResNetV2": 1088,
             }.get(cfg.MODEL.BACKBONE.NAME, 1024),
             depth=cfg.MODEL.RESNETS.DEPTH,
             num_classes=num_classes,
