@@ -55,7 +55,10 @@ class ModelConfig:
     multi_box_head: bool = False
     pooler_resolution: int = 14
     pooler_scale: float = 1.0 / 16.0
+    pooler_type: str = "ROIAlignV2"   # ROIAlignV2 | ROIAlign | ROIPool
     sampling_ratio: int = 2
+    rpn_self_training: bool = False   # WeaklySupervisedRCNNRPN (rcnn.py:544-705)
+    weak_rpn_score_threshold: float = 0.99
     roi_batch_size: int = 512
     roi_positive_fraction: float = 0.25
     roi_iou_thresholds: Tuple[float, ...] = (0.5,)
@@ -130,7 +133,10 @@ class ModelConfig:
             novel_ids=tuple(cfg.DATASETS.FEWSHOT.NOVEL_CLASSES_ID),
             multi_box_head=cfg.MODEL.ROI_HEADS.MULTI_BOX_HEAD,
             pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            pooler_type=cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE,
             sampling_ratio=cfg.TPU.ROI_ALIGN_SAMPLING_RATIO,
+            rpn_self_training=cfg.MODEL.META_ARCHITECTURE == "WeaklySupervisedRCNNRPN",
+            weak_rpn_score_threshold=cfg.MODEL.PROPOSAL_GENERATOR.WEAK_RPN_SCORE_TRESHOLD,
             roi_batch_size=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
             roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
             roi_iou_thresholds=tuple(cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS),
@@ -291,12 +297,17 @@ class WSRCNN(nn.Module):
     def pooled_rois(self, feats: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
         """feats [B, h, w, C], boxes [B, S, 4] -> [B*S, P, P, C]."""
         mc = self.mc
-        out = jax.vmap(
-            lambda f, b: roi_align_ops.roi_align(
-                f, b, mc.pooler_resolution, mc.pooler_scale, mc.sampling_ratio,
-                impl=mc.roi_align_impl,
+        if mc.pooler_type == "ROIPool":
+            pool = lambda f, b: roi_align_ops.roi_pool_max(
+                f, b, mc.pooler_resolution, mc.pooler_scale
             )
-        )(feats.astype(jnp.float32), boxes)
+        else:
+            pool = lambda f, b: roi_align_ops.roi_align(
+                f, b, mc.pooler_resolution, mc.pooler_scale, mc.sampling_ratio,
+                aligned=mc.pooler_type == "ROIAlignV2",
+                impl=mc.roi_align_impl if mc.pooler_type == "ROIAlignV2" else "xla",
+            )
+        out = jax.vmap(pool)(feats.astype(jnp.float32), boxes)
         return out.reshape((-1,) + out.shape[2:])
 
     def box_features(self, pooled: jnp.ndarray, head: str = "box") -> jnp.ndarray:
@@ -481,6 +492,12 @@ class WSRCNN(nn.Module):
                 losses.update(
                     weak_lib.weak_detector_losses(
                         streams, w_boxes, w_valid, weak["labels"], mc.weak
+                    )
+                )
+            if mc.rpn_self_training:
+                losses.update(
+                    self.rpn_self_training_losses(
+                        weak, mc.weak_rpn_score_threshold
                     )
                 )
         return losses

@@ -100,12 +100,21 @@ def is_frozen(path: str, cfg, extra_frozen: Iterable[str] = ()) -> bool:
         "oicr_predictors": "oicr_predictor",
         "embeddings": "embeddings",
     }
+    segments = path.split("/")
+
+    def seg_match(frag: str) -> bool:
+        # segment-wise matching so e.g. freezing 'box_head' does not also catch
+        # 'weak_box_head'; prefix match covers numbered heads (oicr_predictor_0)
+        frag = frag.strip("/")
+        return any(s == frag or s.startswith(frag + "_") or s.startswith(frag)
+                   and s[len(frag):len(frag) + 1].isdigit() for s in segments)
+
     for name in named:
         frag = alias.get(name, name)
-        if frag and frag in path:
+        if frag and seg_match(frag):
             return True
     for frag in extra_frozen:
-        if frag and frag in path:
+        if frag and (frag in path if "/" in frag else seg_match(frag)):
             return True
     return False
 
