@@ -355,12 +355,32 @@ class WSRCNN(nn.Module):
         losses: Dict[str, jnp.ndarray] = {}
         k_rpn, k_sample = jax.random.split(rng)
 
+        # Both streams share one fixed canvas, so the two backbone+RPN passes
+        # (rcnn.py:439,452) fuse into a single batched conv pass — better MXU
+        # utilization and half the kernel dispatches.  Gradients are identical:
+        # the reference also backprops the backbone through both streams.
+        feats = feats_w = logits = deltas = logits_w = deltas_w = None
+        fused = (
+            strong is not None and weak is not None
+            and strong["image"].shape[1:] == weak["image"].shape[1:]
+        )
+        if fused:
+            bs = strong["image"].shape[0]
+            all_feats = self.features(
+                jnp.concatenate([strong["image"], weak["image"]], axis=0)
+            )
+            feats, feats_w = all_feats[:bs], all_feats[bs:]
+            all_logits, all_deltas = self.rpn(all_feats)
+            logits, logits_w = all_logits[:bs], all_logits[bs:]
+            deltas, deltas_w = all_deltas[:bs], all_deltas[bs:]
+
         supervised_weak_scores = None
         if strong is not None:
             # The RPN always trains on the strong batch — including the
             # weak-only WeakRCNN phase (rcnn.py:96-134) and TRAIN_ONLY_WEAK.
-            feats = self.features(strong["image"])
-            logits, deltas = self.rpn(feats)
+            if feats is None:
+                feats = self.features(strong["image"])
+                logits, deltas = self.rpn(feats)
             fh, fw = feats.shape[1], feats.shape[2]
             anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
             gt = GTInstances(
@@ -457,14 +477,16 @@ class WSRCNN(nn.Module):
                 )
 
         if weak is not None:
-            feats_w = self.features(weak["image"])
+            if feats_w is None:
+                feats_w = self.features(weak["image"])
             pw = mc.weak_proposal_count
             if mc.load_proposals and "proposals" in weak:
                 # precomputed (MCG) proposals, MODEL.LOAD_PROPOSALS path
                 w_boxes = weak["proposals"][:, :pw]
                 w_valid = weak["proposals_valid"][:, :pw]
             else:
-                logits_w, deltas_w = self.rpn(feats_w)
+                if logits_w is None:
+                    logits_w, deltas_w = self.rpn(feats_w)
                 fh, fw = feats_w.shape[1], feats_w.shape[2]
                 anchors_w = rpn_lib.get_anchors(fh, fw, mc.rpn)
                 props_w = rpn_lib.select_proposals(
