@@ -153,13 +153,12 @@ def _fwd(features, rois, output_size, spatial_scale, sampling_ratio):
 
 def _bwd(output_size, spatial_scale, sampling_ratio, residuals, g):
     features, rois = residuals
-    _, vjp = jax.vjp(
-        lambda f: roi_align_xla(
-            f, rois, output_size, spatial_scale, sampling_ratio
-        ),
-        features,
-    )
-    (df,) = vjp(g)
+    from .roi_align_pallas_bwd import roi_align_backward_pallas
+
+    df = roi_align_backward_pallas(
+        g, rois, output_size, spatial_scale, sampling_ratio,
+        tuple(features.shape),
+    ).astype(features.dtype)
     return df, jnp.zeros_like(rois)
 
 

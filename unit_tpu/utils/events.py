@@ -71,16 +71,42 @@ class ConsoleWriter:
         logger.info("  ".join(parts))
 
 
+class TensorBoardWriter:
+    """Optional TensorBoard scalars (d2 PeriodicWriter parity); no-op if the
+    torch SummaryWriter is unavailable."""
+
+    def __init__(self, logdir: str):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._w = SummaryWriter(logdir)
+        except Exception:  # pragma: no cover
+            self._w = None
+
+    def write(self, step: int, storage: EventStorage):
+        if self._w is None:
+            return
+        for k, v in storage.latest().items():
+            self._w.add_scalar(k, v, step)
+
+    def close(self):
+        if self._w is not None:
+            self._w.close()
+
+
 class MetricsHook:
     """Trainer hook: accumulate metrics + periodic writes."""
 
-    def __init__(self, output_dir: str, period: int = 20, max_iter: Optional[int] = None):
+    def __init__(self, output_dir: str, period: int = 20, max_iter: Optional[int] = None,
+                 tensorboard: bool = False):
         self.storage = EventStorage()
         self.period = period
         self.writers = [
             ConsoleWriter(max_iter),
             JSONWriter(os.path.join(output_dir, "metrics.json")),
         ]
+        if tensorboard:
+            self.writers.append(TensorBoardWriter(os.path.join(output_dir, "tb")))
 
     def __call__(self, step: int, metrics: dict, trainer):
         self.storage.iter = step
