@@ -37,8 +37,42 @@ def get_evaluator(cfg, dataset_name: str):
     if ev_type == "coco":
         from ..evaluation.coco_eval import COCOEvaluator
 
-        return COCOEvaluator(
+        bbox_ev = COCOEvaluator(
             class_names=meta.get("thing_classes"),
             novel_class_ids=cfg.DATASETS.FEWSHOT.NOVEL_CLASSES_ID,
         )
+        if not cfg.MODEL.MASK_ON:
+            return bbox_ev
+        segm_ev = COCOEvaluator(
+            class_names=meta.get("thing_classes"),
+            novel_class_ids=cfg.DATASETS.FEWSHOT.NOVEL_CLASSES_ID,
+            iou_type="segm",
+        )
+        return MultiEvaluator([bbox_ev, segm_ev])
     raise ValueError(f"Unknown evaluator type {ev_type} for {dataset_name}")
+
+
+class MultiEvaluator:
+    """Fan-out to several evaluators (bbox + segm, like the reference's
+    COCOEvaluator with both iou types)."""
+
+    def __init__(self, evaluators):
+        self.evaluators = evaluators
+
+    def reset(self):
+        for e in self.evaluators:
+            e.reset()
+
+    def process_gt_record(self, record):
+        for e in self.evaluators:
+            e.process_gt_record(record)
+
+    def process(self, *args, **kwargs):
+        for e in self.evaluators:
+            e.process(*args, **kwargs)
+
+    def evaluate(self):
+        out = {}
+        for e in self.evaluators:
+            out.update(e.evaluate())
+        return out

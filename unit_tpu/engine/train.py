@@ -131,6 +131,7 @@ class TrainerBase:
         self.weak_iter = weak_iter
         self.meta_iter = meta_iter
         self.mesh = mesh
+        self.detect_anomaly = True
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.train_step = make_train_step(
             model, optimizer, train_only_weak=train_only_weak, mesh=mesh
@@ -164,6 +165,14 @@ class TrainerBase:
         self.state, metrics = self.train_step(self.state, strong, weak, meta, step_rng)
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["data_time"] = data_time
+        # anomaly guard (the reference's _detect_anomaly NaN/Inf check,
+        # engine/defaults.py:281): fail fast with the full loss dict
+        if self.detect_anomaly and not all(
+            v == v and abs(v) != float("inf") for v in metrics.values()
+        ):
+            raise FloatingPointError(
+                f"non-finite loss at iter {int(self.state.step)}: {metrics}"
+            )
         self.metrics_history.append(metrics)
         return metrics
 

@@ -77,11 +77,26 @@ class COCOEvaluator:
         self._images.add(img)
         for ann in record.get("annotations", []):
             x1, y1, x2, y2 = ann["bbox"]
+            mask = ann.get("mask")
+            if mask is None and ann.get("box_mask") is not None and self.iou_type == "segm":
+                # paste the GT-box-frame bitmask into the image frame
+                h, w = int(record["height"]), int(record["width"])
+                mask = np.zeros((h, w), bool)
+                xi1, yi1 = max(int(np.floor(x1)), 0), max(int(np.floor(y1)), 0)
+                xi2, yi2 = min(int(np.ceil(x2)), w), min(int(np.ceil(y2)), h)
+                if xi2 > xi1 and yi2 > yi1:
+                    from ..data.transforms import resize_image
+
+                    patch = resize_image(
+                        ann["box_mask"][:, :, None].astype(np.float32),
+                        yi2 - yi1, xi2 - xi1,
+                    )[:, :, 0]
+                    mask[yi1:yi2, xi1:xi2] = patch > 0.5
             self._gt[ann["category_id"]][img].append({
                 "bbox": np.asarray([x1, y1, x2, y2], np.float64),
                 "area": ann.get("area", (x2 - x1) * (y2 - y1)),
                 "iscrowd": ann.get("iscrowd", 0),
-                "mask": ann.get("mask"),
+                "mask": mask,
             })
 
     def process(self, image_id, boxes, scores, classes, valid, masks=None):

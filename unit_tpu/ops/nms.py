@@ -35,7 +35,7 @@ def _pad_rows(x: jnp.ndarray, n: int, value=0.0) -> jnp.ndarray:
 def nms_sorted_mask(
     sorted_boxes: jnp.ndarray,
     iou_threshold: float,
-    tile_size: int = 256,
+    tile_size: int = 512,
 ) -> jnp.ndarray:
     """Exact greedy NMS over boxes already sorted by score descending.
 
@@ -93,7 +93,7 @@ def nms(
     iou_threshold: float,
     max_out: int,
     valid: Optional[jnp.ndarray] = None,
-    tile_size: int = 256,
+    tile_size: int = 512,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS. Returns (indices [max_out] into the input, valid [max_out]),
     ordered by descending score."""
@@ -122,7 +122,7 @@ def batched_nms(
     iou_threshold: float,
     max_out: int,
     valid: Optional[jnp.ndarray] = None,
-    tile_size: int = 256,
+    tile_size: int = 512,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Category-aware NMS via the coordinate-offset trick (as in torchvision's
     batched_nms used at /root/reference/modeling/roi_heads/fast_rcnn.py:461-468):
