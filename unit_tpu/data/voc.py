@@ -110,6 +110,41 @@ def kshot_sample(
     return list(chosen.values())
 
 
+def load_kshot_split_files(
+    split_dir: str, shots: int, class_names: Sequence[str], devkit_root: str
+) -> List[dict] | None:
+    """Load canonical few-shot split files when present (the
+    bingykang/Fewshot_Detection `box_{K}shot_{cls}_train.txt` layout that the
+    reference's pipelines_adaptor reproduces).  Returns None if absent so the
+    caller falls back to seeded sampling."""
+    if not os.path.isdir(split_dir):
+        return None
+    chosen: dict = {}
+    found_any = False
+    for cid, name in enumerate(class_names):
+        path = os.path.join(split_dir, f"box_{shots}shot_{name}_train.txt")
+        if not os.path.exists(path):
+            continue
+        found_any = True
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                image_id = os.path.splitext(os.path.basename(line))[0]
+                year = "2012" if "2012" in line else "2007"
+                xml = os.path.join(
+                    devkit_root, f"VOC{year}", "Annotations", f"{image_id}.xml"
+                )
+                if image_id not in chosen and os.path.exists(xml):
+                    rec = parse_voc_xml(xml)
+                    rec["file_name"] = os.path.join(
+                        devkit_root, f"VOC{year}", "JPEGImages", f"{image_id}.jpg"
+                    )
+                    chosen[image_id] = rec
+    return list(chosen.values()) if found_any else None
+
+
 class RegisterVOC:
     """Registers the VOC few-shot dataset family (register_voc.py:5-22):
 
@@ -151,6 +186,13 @@ class RegisterVOC:
             return load_voc_split(root, "2007", "test", None, keep_empty=True)
 
         def ft_train():
+            # canonical split files take precedence when available
+            canonical = load_kshot_split_files(
+                os.path.join(os.path.dirname(root.rstrip("/")), "vocsplit"),
+                self.shots, VOC_CLASSES, root,
+            )
+            if canonical:
+                return canonical
             recs = load_voc_split(root, "2007", "trainval", self.all_ids)
             recs += load_voc_split(root, "2012", "trainval", self.all_ids)
             return kshot_sample(recs, self.shots, self.all_ids, self.seed)

@@ -307,7 +307,9 @@ class WSRCNN(nn.Module):
                 aligned=mc.pooler_type == "ROIAlignV2",
                 impl=mc.roi_align_impl if mc.pooler_type == "ROIAlignV2" else "xla",
             )
-        out = jax.vmap(pool)(feats.astype(jnp.float32), boxes)
+        # keep the backbone's bf16: the pallas kernel loads rows in the feature
+        # dtype (half the DMA traffic) and interpolates in f32
+        out = jax.vmap(pool)(feats, boxes)
         return out.reshape((-1,) + out.shape[2:])
 
     def box_features(self, pooled: jnp.ndarray, head: str = "box") -> jnp.ndarray:

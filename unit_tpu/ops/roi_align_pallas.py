@@ -115,8 +115,10 @@ def roi_align_pallas(features, rois, output_size=14, spatial_scale=1.0 / 16.0,
 
 def _forward(features, rois, output_size, spatial_scale, sampling_ratio):
     h, w, c = features.shape
-    # DMA slices of the HBM feature map need the row dimension 8-aligned.
-    wp = ((w + 7) // 8) * 8
+    # DMA slices of the HBM feature map need the row dimension aligned to the
+    # dtype's sublane tiling (8 for f32, 16 for bf16).
+    align = 16 if features.dtype == jnp.bfloat16 else 8
+    wp = ((w + align - 1) // align) * align
     if wp != w:
         features = jnp.pad(features, ((0, 0), (0, wp - w), (0, 0)))
     n = rois.shape[0]
