@@ -5,6 +5,7 @@ from .train import (
     TrainerNoMeta,
     TrainerFineTune,
     TrainerOnlyWeak,
+    TrainerOnlyWeakFineTune,
     create_train_state,
     make_train_step,
     make_predict_fn,
@@ -12,5 +13,5 @@ from .train import (
 
 __all__ = [
     "TrainState", "Trainer", "TrainerBase", "TrainerNoMeta", "TrainerFineTune",
-    "TrainerOnlyWeak", "create_train_state", "make_train_step", "make_predict_fn",
+    "TrainerOnlyWeak", "TrainerOnlyWeakFineTune", "create_train_state", "make_train_step", "make_predict_fn",
 ]

@@ -209,3 +209,10 @@ class TrainerOnlyWeak(TrainerBase):
     def __init__(self, *args, **kwargs):
         kwargs["train_only_weak"] = True
         super().__init__(*args, **kwargs)
+
+
+class TrainerOnlyWeakFineTune(TrainerBase):
+    """Weak-only fine-tuning where the classifier stream supplies the (boxed)
+    supervised batch as well (defaults.py:402-425): build its strong_iter from
+    the classifier datasets; the step itself is the standard two-stream one."""
+
