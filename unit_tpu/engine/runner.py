@@ -36,7 +36,7 @@ from ..evaluation import inference_on_dataset
 from ..models import ModelConfig, WSRCNN
 from ..parallel import make_mesh
 from ..solver import build_optimizer
-from ..utils.events import MetricsHook
+from ..utils.events import MetricsHook, print_csv_format
 from .train import (
     Trainer,
     TrainerFineTune,
@@ -69,6 +69,8 @@ def setup(args):
     cfg.freeze()
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
     logging.basicConfig(level=logging.INFO)
+    if cfg.TPU.DEBUG_NANS:
+        jax.config.update("jax_debug_nans", True)
     register_datasets(cfg, args.data_root)
     return cfg
 
@@ -236,6 +238,7 @@ def run(args):
     if args.eval_only:
         results = eval_fn(trainer.state)
         logger.info("eval results: %s", results)
+        print_csv_format(results)
         return results
 
     hooks = [

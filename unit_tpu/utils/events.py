@@ -71,6 +71,19 @@ class ConsoleWriter:
         logger.info("  ".join(parts))
 
 
+def print_csv_format(results: Dict, logger_=None):
+    """CSV-style result dump (engine/defaults.py:243-244 parity): one
+    `task,metric,value` line per metric, copy-paste friendly."""
+    log = (logger_ or logger).info
+    for task, metrics in results.items():
+        if not isinstance(metrics, dict):
+            log("%s,%s", task, metrics)
+            continue
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                log("csv: %s,%s,%.4f", task, k, v)
+
+
 class TensorBoardWriter:
     """Optional TensorBoard scalars (d2 PeriodicWriter parity); no-op if the
     torch SummaryWriter is unavailable."""
