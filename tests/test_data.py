@@ -167,3 +167,44 @@ def test_test_loader_pads_final_batch(synthetic_voc):
 def test_resize_shortest_edge_caps_max():
     h, w, s = resize_shortest_edge(100, 400, 96, 160)
     assert max(h, w) <= 160
+
+
+def test_portrait_images_use_transposed_canvas():
+    """Tall images must not be cropped by the landscape canvas (AR bucketing)."""
+    from unit_tpu.data.transforms import TransformConfig, prepare_detection_record
+
+    t = TransformConfig(min_sizes=(96,), max_size=160, canvas=(96, 160),
+                        max_gt=5, num_classes=20)
+    rng2 = np.random.RandomState(0)
+    rec = {"image_id": "p", "annotations": [{"category_id": 1, "bbox": [10, 150, 60, 190]}]}
+    img = rng2.rand(200, 100, 3).astype(np.float32)
+    out = prepare_detection_record(rec, t, rng2, image=img, training=False)
+    assert out["image"].shape[:2] == (160, 96)
+    assert out["image_size"][0] > 96  # tall content kept, not cropped
+    assert out["gt_boxes"][0][3] <= out["image_size"][0]
+
+
+def test_loader_batches_are_orientation_homogeneous(synthetic_voc):
+    from unit_tpu.data.loader import StreamLoader
+    from unit_tpu.data.transforms import TransformConfig
+
+    t = TransformConfig(min_sizes=(64,), max_size=96, canvas=(64, 96),
+                        max_gt=5, num_classes=20)
+    recs = []
+    for i in range(6):
+        h, w = (120, 80) if i % 2 else (80, 120)
+        recs.append({"image_id": f"r{i}", "height": h, "width": w,
+                     "annotations": [{"category_id": 0, "bbox": [5, 5, 30, 30]}]})
+
+    def loader_img(rec):
+        return np.zeros((rec["height"], rec["width"], 3), np.float32)
+
+    loader = StreamLoader(recs, t, batch_size=2, keys=("image", "image_size"),
+                          image_loader=loader_img)
+    shapes = set()
+    it = iter(loader)
+    for _ in range(4):
+        batch = next(it)
+        shapes.add(batch["image"].shape[1:3])
+    # both orientations appear, each batch internally homogeneous
+    assert (64, 96) in shapes and (96, 64) in shapes

@@ -121,12 +121,21 @@ class StreamLoader:
                                         training=self.training)
 
     def __iter__(self) -> Iterator[dict]:
-        order = []
+        """Aspect-ratio-grouped batching (d2 AspectRatioGroupedDataset,
+        SURVEY.md §2.4): landscape and portrait samples go to separate buckets
+        (different fixed canvases -> two compile variants), a batch is emitted
+        whenever one bucket fills."""
+        order: List[int] = []
+        buckets: Dict[tuple, List[dict]] = {}
         while True:
-            if len(order) < self.batch_size:
-                order += list(self.rng.permutation(len(self.records)))
-            take, order = order[: self.batch_size], order[self.batch_size:]
-            yield collate([self._load(self.records[i]) for i in take], self.keys)
+            if not order:
+                order = list(self.rng.permutation(len(self.records)))
+            sample = self._load(self.records[order.pop()])
+            key = sample["image"].shape[:2]
+            buckets.setdefault(key, []).append(sample)
+            if len(buckets[key]) == self.batch_size:
+                batch, buckets[key] = buckets[key], []
+                yield collate(batch, self.keys)
 
 
 def build_strong_loader(cfg, dataset_names=None, seed=0, image_loader=None,

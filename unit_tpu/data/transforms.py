@@ -109,6 +109,12 @@ def prepare_detection_record(
     min_size = tcfg.min_sizes[rng.randint(len(tcfg.min_sizes))] if training else tcfg.min_sizes[0]
     new_h, new_w, scale = resize_shortest_edge(h, w, min_size, tcfg.max_size)
     ch, cw = tcfg.canvas
+    # aspect-ratio bucketing (d2 AspectRatioGroupedDataset equivalent): portrait
+    # images use the transposed canvas so tall content is never cropped
+    if h > w:
+        ch, cw = max(ch, cw), min(ch, cw)
+    else:
+        ch, cw = min(ch, cw), max(ch, cw)
     new_h, new_w = min(new_h, ch), min(new_w, cw)
     img = resize_image(image, new_h, new_w)
 
