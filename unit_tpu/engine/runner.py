@@ -225,7 +225,8 @@ def _run_tta_eval(predict_batch, loader, evaluator, total):
 
 def run(args):
     cfg = setup(args)
-    model, optimizer, trainer, mesh = build_everything(cfg, args.num_gpus)
+    seed = cfg.SEED if cfg.SEED >= 0 else 0
+    model, optimizer, trainer, mesh = build_everything(cfg, args.num_gpus, seed=seed)
     state = trainer.init_state()
     params = load_initial_weights(cfg, jax.device_get(state.params))
     trainer.state = trainer.state.replace(params=jax.device_put(params))
@@ -249,4 +250,6 @@ def run(args):
         ),
     ]
     trainer.train(cfg.SOLVER.MAX_ITER, hooks=hooks)
-    return eval_fn(trainer.state)
+    results = eval_fn(trainer.state)
+    print_csv_format(results)
+    return results
