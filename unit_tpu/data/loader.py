@@ -138,10 +138,21 @@ class StreamLoader:
                 yield collate(batch, self.keys)
 
 
+def _host_shard(records):
+    """Multi-host data parallelism: each process owns a disjoint slice of the
+    dataset (replaces the reference's per-rank DistributedSampler)."""
+    import jax
+
+    if jax.process_count() > 1:
+        return records[jax.process_index()::jax.process_count()]
+    return records
+
+
 def build_strong_loader(cfg, dataset_names=None, seed=0, image_loader=None,
                         batch_size=None) -> StreamLoader:
     names = dataset_names or cfg.DATASETS.TRAIN
     records = list(itertools.chain.from_iterable(DatasetCatalog.get(n) for n in names))
+    records = _host_shard(records)
     keys = _STRONG_KEYS + (("gt_masks",) if cfg.MODEL.MASK_ON else ())
     return StreamLoader(
         records, TransformConfig.train_from_cfg(cfg),
@@ -156,6 +167,7 @@ def build_classifier_loader(cfg, seed=1, image_loader=None, batch_size=None) -> 
         names = (names,)
     records = list(itertools.chain.from_iterable(DatasetCatalog.get(n) for n in names))
     records = sample_classifier_dataset(cfg, records)
+    records = _host_shard(records)
     return StreamLoader(
         records, TransformConfig.train_from_cfg(cfg),
         batch_size or cfg.SOLVER.IMS_PER_BATCH, _WEAK_KEYS, seed=seed,
