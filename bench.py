@@ -13,9 +13,19 @@ vs_baseline compares against the reference stack's measured/estimated
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: full-step compiles take 20-40 min through the
+# remote-compile tunnel; cache hits make repeat benchmark runs start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 import jax.numpy as jnp
 import numpy as np
 import optax
