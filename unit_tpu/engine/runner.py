@@ -56,6 +56,11 @@ def default_argument_parser():
     parser.add_argument("--num-gpus", type=int, default=1,
                         help="number of mesh devices (name kept for parity)")
     parser.add_argument("--data-root", default=None)
+    parser.add_argument(
+        "--dist", action="store_true",
+        help="multi-host: jax.distributed.initialize() (replaces the reference's "
+             "SLURM-derived NCCL rendezvous, scripts/train_VOC.py:56-77)",
+    )
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return parser
 
@@ -224,6 +229,8 @@ def _run_tta_eval(predict_batch, loader, evaluator, total):
 
 
 def run(args):
+    if getattr(args, "dist", False):
+        jax.distributed.initialize()
     cfg = setup(args)
     seed = cfg.SEED if cfg.SEED >= 0 else 0
     model, optimizer, trainer, mesh = build_everything(cfg, args.num_gpus, seed=seed)
