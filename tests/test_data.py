@@ -208,3 +208,31 @@ def test_loader_batches_are_orientation_homogeneous(synthetic_voc):
         shapes.add(batch["image"].shape[1:3])
     # both orientations appear, each batch internally homogeneous
     assert (64, 96) in shapes and (96, 64) in shapes
+
+
+def test_precomputed_proposal_loading(tmp_path):
+    import pickle
+    from unit_tpu.data.proposals import attach_proposals, load_proposal_file
+    from unit_tpu.data.transforms import TransformConfig, prepare_detection_record
+
+    table = {"img1": {"boxes": np.asarray([[0, 0, 50, 50], [10, 10, 90, 90]], np.float32),
+                      "scores": np.asarray([0.2, 0.9], np.float32)}}
+    p = tmp_path / "props.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(table, f)
+    assert "img1" in load_proposal_file(str(p))
+
+    rec = {"image_id": "img1", "annotations": [{"category_id": 0, "bbox": [1, 1, 20, 20]}]}
+    attach_proposals([rec], [str(p)], topk=2)
+    assert rec["proposals"].shape == (2, 4)
+    assert rec["proposals"][0][2] == 90  # sorted by score desc
+
+    t = TransformConfig(min_sizes=(50,), max_size=100, canvas=(64, 96), max_gt=5,
+                        num_classes=20, proposal_capacity=4)
+    rng2 = np.random.RandomState(0)
+    out = prepare_detection_record(rec, t, rng2,
+                                   image=np.zeros((100, 100, 3), np.float32),
+                                   training=False)
+    assert out["proposals"].shape == (4, 4)
+    assert out["proposals_valid"].sum() == 2
+    assert abs(out["proposals"][0][2] - 90 * out["scale"]) < 1e-4

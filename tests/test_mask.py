@@ -95,3 +95,37 @@ def test_mask_on_model_end_to_end():
     assert det.masks is not None
     assert det.masks.shape[:2] == det.boxes.shape[:2]
     assert np.isfinite(np.asarray(det.masks)).all()
+
+
+@pytest.mark.slow
+def test_mask_finetune_head_end_to_end():
+    """WSROIHeadWithMaskFineTune path: predictor_delta + train-time transfer."""
+    base_ids = tuple(i for i in range(20) if i not in (2, 5, 9, 13, 17))
+    novel_ids = (2, 5, 9, 13, 17)
+    sim = SimilarityConfig(
+        terms=(
+            ("cls", ("lingual",)), ("bbox", ("lingual",)), ("seg", ("lingual",)),
+        ),
+        base_ids=base_ids, novel_ids=novel_ids,
+        coco_indexer=tuple(coco_indexer_for(VOC_CLASSES)),
+    )
+    mc = tiny_config(mask_on=True, mask_fg_slots=8, mask_head_finetune=True,
+                     finetune=True, sim=sim)
+    model = WSRCNN(mc=mc)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    sizes = jnp.asarray([[64, 64]], jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, sizes)
+    assert "predictor_delta" in variables["params"]["mask_head"]
+
+    strong = _strong_batch()
+    strong["gt_masks"] = jnp.asarray(
+        np.random.RandomState(3).rand(1, 4, 16, 16).astype(np.float32) > 0.5,
+        jnp.float32,
+    )
+    losses = model.apply(
+        variables, jax.random.PRNGKey(1), strong, None,
+        method=WSRCNN.train_losses,
+    )
+    assert "loss_mask" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k

@@ -168,9 +168,20 @@ def build_classifier_loader(cfg, seed=1, image_loader=None, batch_size=None) -> 
     records = list(itertools.chain.from_iterable(DatasetCatalog.get(n) for n in names))
     records = sample_classifier_dataset(cfg, records)
     records = _host_shard(records)
+    tcfg = TransformConfig.train_from_cfg(cfg)
+    keys = _WEAK_KEYS
+    if cfg.MODEL.LOAD_PROPOSALS:
+        from .proposals import attach_proposals
+
+        attach_proposals(
+            records, cfg.DATASETS.PROPOSAL_FILES_CLASSIFIER_TRAIN,
+            cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN,
+        )
+        tcfg.proposal_capacity = cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN
+        keys = keys + ("proposals", "proposals_valid")
     return StreamLoader(
-        records, TransformConfig.train_from_cfg(cfg),
-        batch_size or cfg.SOLVER.IMS_PER_BATCH, _WEAK_KEYS, seed=seed,
+        records, tcfg,
+        batch_size or cfg.SOLVER.IMS_PER_BATCH, keys, seed=seed,
         image_loader=image_loader,
     )
 

@@ -25,6 +25,7 @@ class TransformConfig:
     num_classes: int = 20
     with_masks: bool = False
     mask_size: int = 28                       # GT-box-frame mask resolution
+    proposal_capacity: int = 0                # >0: attach padded precomputed proposals
 
     @classmethod
     def train_from_cfg(cls, cfg) -> "TransformConfig":
@@ -176,6 +177,16 @@ def prepare_detection_record(
     }
     if gt_masks is not None:
         out["gt_masks"] = gt_masks
+    if tcfg.proposal_capacity > 0:
+        from .proposals import pad_record_proposals
+
+        p_boxes, p_valid = pad_record_proposals(record, scale, tcfg.proposal_capacity)
+        if flipped:
+            x1p = new_w - p_boxes[:, 2]
+            x2p = new_w - p_boxes[:, 0]
+            p_boxes[:, 0], p_boxes[:, 2] = x1p.copy(), x2p.copy()
+        out["proposals"] = p_boxes
+        out["proposals_valid"] = p_valid
     return out
 
 
