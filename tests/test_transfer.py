@@ -107,3 +107,54 @@ def test_similarity_none_term_zeroes(rng):
     )
     sims = S.similarity_matrices(scfg)
     assert np.all(np.asarray(sims["cls"]) == 0.0)
+
+
+def test_weight_space_topk_terms(rng):
+    w = rng.randn(6, 8).astype(np.float32)  # [C(+1), D] mean OICR weights
+    scfg = S.SimilarityConfig(
+        terms=(("cls", ("TopK-2",)),), base_ids=(0, 1, 2, 3), novel_ids=(4, 5),
+        coco_indexer=tuple(range(6)),
+    )
+    sims = S.similarity_matrices(scfg, oicr_weight_mean=jnp.asarray(w))
+    m = np.asarray(sims["cls"])
+    assert m.shape == (2, 4)
+    # TopK: uniform over the 2 most similar base classes by weight dot product
+    dots = w[[4, 5]] @ w[[0, 1, 2, 3]].T
+    for v in range(2):
+        top2 = set(np.argsort(-dots[v])[:2])
+        nz = set(np.where(m[v] > 0)[0])
+        assert nz == top2
+        np.testing.assert_allclose(m[v][list(nz)], 0.5, atol=1e-5)
+
+
+def test_weight_space_wtopk_weighted(rng):
+    w = np.abs(rng.randn(6, 8)).astype(np.float32)
+    scfg = S.SimilarityConfig(
+        terms=(("cls", ("WTopK-2",)),), base_ids=(0, 1, 2, 3), novel_ids=(4, 5),
+        coco_indexer=tuple(range(6)),
+    )
+    m = np.asarray(S.similarity_matrices(scfg, oicr_weight_mean=jnp.asarray(w))["cls"])
+    np.testing.assert_allclose(m.sum(-1), 1.0, atol=1e-5)
+    assert (np.sort(m, axis=-1)[:, -2:] > 0).all()
+
+
+def test_lsda_uses_closest_by_distance(rng):
+    w = rng.randn(6, 8).astype(np.float32)
+    scfg = S.SimilarityConfig(
+        terms=(("cls", ("LSDA-1",)),), base_ids=(0, 1, 2, 3), novel_ids=(4, 5),
+        coco_indexer=tuple(range(6)),
+    )
+    m = np.asarray(S.similarity_matrices(scfg, oicr_weight_mean=jnp.asarray(w))["cls"])
+    d = np.linalg.norm(w[[4, 5]][:, None] - w[[0, 1, 2, 3]][None], axis=-1)
+    for v in range(2):
+        assert m[v].argmax() == d[v].argmin()
+        np.testing.assert_allclose(m[v].sum(), 1.0, atol=1e-5)
+
+
+def test_average_term_uniform():
+    scfg = S.SimilarityConfig(
+        terms=(("cls", ("Average",)),), base_ids=(0, 1, 2), novel_ids=(3,),
+        coco_indexer=(0, 1, 2, 3),
+    )
+    m = np.asarray(S.similarity_matrices(scfg)["cls"])
+    np.testing.assert_allclose(m, 1.0 / 3.0, atol=1e-6)
