@@ -171,7 +171,7 @@ class ModelConfig:
                 "MahalanobisSimilarity": "mahalanobis",
                 "MeanSimilarity": "mean",
                 "MeanMatrixSimilarity": "matrix",
-                "MeanMatrixSimilarityLocatron": "matrix",
+                "MeanMatrixSimilarityLocatron": "locatron",
             }.get(cfg.MODEL.ROI_HEADS.VISUAL_ATTENTION_HEAD.NAME, "mean"),
             mask_head_finetune="FineTune" in cfg.MODEL.ROI_MASK_HEAD.NAME,
             mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,

@@ -40,7 +40,7 @@ class VisualAttentionHead(nn.Module):
 
     num_classes: int
     depth: int = 50
-    mode: str = "mean"          # 'mean' (identity cov) | 'mahalanobis'
+    mode: str = "mean"          # 'mean' | 'mahalanobis' | 'matrix' | 'locatron'
     pooler_resolution: int = 14
     pooler_scale: float = 1.0 / 16.0
     sampling_ratio: int = 2
@@ -52,9 +52,10 @@ class VisualAttentionHead(nn.Module):
             self.num_classes + 1, kernel_init=nn.initializers.normal(0.01),
             bias_init=nn.initializers.zeros, name="rank_loss_classifier",
         )
-        if self.mode == "matrix":
+        if self.mode in ("matrix", "locatron"):
             # learned similarity matrix, identity init (MeanMatrixSimilarity,
-            # ref :212-216)
+            # ref :212-216; Locatron variant :313-360 drops the prototype
+            # classification loss and the relu in compute_similarity)
             self.sim_matrix = nn.Dense(
                 2048 if self.depth >= 50 else 2048, use_bias=False,
                 kernel_init=lambda key, shape, dtype=jnp.float32: jnp.eye(
@@ -68,7 +69,7 @@ class VisualAttentionHead(nn.Module):
         head; gradients flow into the meta head only (ref :81-84).  The matrix
         variant L2-normalizes (ref :231-236)."""
         f = self.meta_box_head(jax.lax.stop_gradient(pooled)).astype(jnp.float32)
-        if self.mode == "matrix":
+        if self.mode in ("matrix", "locatron"):
             f = f / jnp.clip(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-6)
         return f
 
@@ -96,7 +97,7 @@ class VisualAttentionHead(nn.Module):
         d = d_feats.shape[-1]
         per_class = d_feats.reshape(c, k, d)
         means = jnp.mean(per_class, axis=1)  # [C, D]
-        if self.mode == "matrix":
+        if self.mode in ("matrix", "locatron"):
             # learned-matrix transform + cosine normalization (ref :299-301)
             means = self.sim_matrix(means)
             means = means / jnp.clip(jnp.linalg.norm(means, -1, keepdims=True), 1e-6)
@@ -126,6 +127,8 @@ class VisualAttentionHead(nn.Module):
         if self.mode == "matrix":
             # cosine similarity with relu (MeanMatrixSimilarity.compute_similarity)
             return jax.nn.relu(query @ mean.T)
+        if self.mode == "locatron":
+            return query @ mean.T
         pi_normalizer = 0.5 * d * np.log(2 * np.pi)
         cov_inv = attention.cov_inv[class_slots]
         logdet = attention.logdet[class_slots]
@@ -145,7 +148,7 @@ class VisualAttentionHead(nn.Module):
         """Margin + reg + prototype-classification losses (ref :101-143; the
         matrix variant's -2 fill / 0.5 bg and fg-masked reg loss, :249-281)."""
         feats = self.query_features(pooled)
-        is_matrix = self.mode == "matrix"
+        is_matrix = self.mode in ("matrix", "locatron")
         slots = (
             np.asarray(base_ids)
             if is_matrix
@@ -180,13 +183,11 @@ class VisualAttentionHead(nn.Module):
             jnp.sum(reg_valid.astype(jnp.float32)), 1.0
         )
 
-        logits = self.rank_loss_classifier(attention.mean[slots])
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        cls_loss = -jnp.mean(
-            jnp.take_along_axis(logp, jnp.asarray(slots)[:, None], axis=1)
-        )
-        return {
-            "loss_rank_margin": margin_loss,
-            "loss_rank_reg": reg_loss,
-            "loss_rank_cls": cls_loss,
-        }
+        out = {"loss_rank_margin": margin_loss, "loss_rank_reg": reg_loss}
+        if self.mode != "locatron":  # Locatron drops the prototype cls loss
+            logits = self.rank_loss_classifier(attention.mean[slots])
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            out["loss_rank_cls"] = -jnp.mean(
+                jnp.take_along_axis(logp, jnp.asarray(slots)[:, None], axis=1)
+            )
+        return out
