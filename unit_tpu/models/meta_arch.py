@@ -376,7 +376,6 @@ class WSRCNN(nn.Module):
             logits, logits_w = all_logits[:bs], all_logits[bs:]
             deltas, deltas_w = all_deltas[:bs], all_deltas[bs:]
 
-        supervised_weak_scores = None
         if strong is not None:
             # The RPN always trains on the strong batch — including the
             # weak-only WeakRCNN phase (rcnn.py:96-134) and TRAIN_ONLY_WEAK.
