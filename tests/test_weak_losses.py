@@ -134,3 +134,26 @@ def test_full_weak_losses_finite(rng):
     assert set(losses) == {"loss_im_cls", "loss_oicr_1", "loss_oicr_2", "loss_oicr_3"}
     for v in losses.values():
         assert np.isfinite(float(v))
+
+
+def test_pseudo_gt_sequential_row_zeroing():
+    """Reference semantics: once a proposal is chosen for a class, its score row
+    is zeroed so the next class picks a different proposal (ref :364)."""
+    import jax.numpy as jnp
+
+    boxes = np.asarray(
+        [[0, 0, 10, 10], [20, 20, 30, 30], [40, 40, 50, 50]], np.float32
+    )
+    # proposal 0 has the max score for BOTH class 0 and class 1
+    scores = np.asarray(
+        [[0.9, 0.8], [0.5, 0.6], [0.1, 0.2]], np.float32
+    )
+    labels = np.asarray([1.0, 1.0], np.float32)
+    pseudo = W.mine_pseudo_gt(
+        jnp.asarray(scores), jnp.asarray(boxes), jnp.ones(3, bool),
+        jnp.asarray(labels), 2,
+    )
+    b = np.asarray(pseudo.boxes)
+    np.testing.assert_allclose(b[0], boxes[0])  # class 0 takes proposal 0
+    np.testing.assert_allclose(b[1], boxes[1])  # class 1 must take proposal 1
+    np.testing.assert_allclose(np.asarray(pseudo.scores), [0.9, 0.6], atol=1e-6)
