@@ -50,7 +50,7 @@ def _kernel(boxes_ref, keep_ref, alive_ref, *, n_pad: int, tile: int, block: int
     row_ids_block = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)[:, 0]
 
     def tile_body(ti, _):
-        start = ti * t
+        start = pl.multiple_of(ti * t, t)
         tb = boxes_ref[pl.ds(start, t), :]
         tx1, ty1, tx2, ty2 = tb[:, 0], tb[:, 1], tb[:, 2], tb[:, 3]
 
@@ -58,7 +58,7 @@ def _kernel(boxes_ref, keep_ref, alive_ref, *, n_pad: int, tile: int, block: int
         # (float accumulation: Mosaic can't broadcast-insert a minor dim on
         # sub-32-bit types, so the row mask is carried as f32)
         def block_body(bi, dead):
-            bstart = bi * block
+            bstart = pl.multiple_of(bi * block, block)
             bb = boxes_ref[pl.ds(bstart, block), :]
             al = alive_ref[pl.ds(bstart, block)]
             earlier = ((row_ids_block + bstart) < start).astype(jnp.float32)
@@ -108,10 +108,10 @@ def nms_sorted_mask_pallas(
 ) -> jnp.ndarray:
     """Keep mask for score-sorted boxes (drop-in for nms.nms_sorted_mask)."""
     n = sorted_boxes.shape[0]
-    t = min(tile_size, n)
-    # block is a multiple of the tile so one padding covers both loops
-    k = max(1, min(2048 // t, -(-n // t)))
-    block = t * k
+    # 1-D f32 VMEM slices must start at multiples of 1024 (8x128 tiling), so the
+    # tile is at least 1024 regardless of the requested size
+    t = max(tile_size, 1024)
+    block = t
     n_pad = ((n + block - 1) // block) * block
     boxes = jnp.pad(sorted_boxes.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
     kernel = functools.partial(
