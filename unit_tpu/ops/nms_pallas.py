@@ -70,15 +70,16 @@ def _kernel(boxes_ref, keep_ref, alive_ref, *, n_pad: int, tile: int, block: int
 
         dead = jax.lax.fori_loop(
             0, num_blocks, block_body, jnp.zeros((t,), jnp.float32)
-        ) > 0.0
+        )
 
         # self-suppression fixed point within the tile
         iou_tile = _pair_iou(tx1, ty1, tx2, ty2, tx1, ty1, tx2, ty2)
         rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
         supp = ((iou_tile > iou_threshold) & (rows < cols)).astype(jnp.float32)
-        alive0 = (alive_ref[pl.ds(start, t)] > 0.0) & ~dead
+        alive0 = alive_ref[pl.ds(start, t)] * (1.0 - dead)  # f32 {0, 1}
 
+        # f32 carries only: Mosaic fails to legalize bool-vector while carries
         def cond(carry):
             alive, prev, it = carry
             return jnp.logical_and(it < t, jnp.any(alive != prev))
@@ -86,16 +87,16 @@ def _kernel(boxes_ref, keep_ref, alive_ref, *, n_pad: int, tile: int, block: int
         def body(carry):
             alive, _, it = carry
             hit = jax.lax.dot_general(
-                alive.astype(jnp.float32)[None, :], supp,
-                (((1,), (0,)), ((), ())),
+                alive[None, :], supp, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )[0] > 0.0
-            return (alive0 & ~hit, alive, it + 1)
+            )[0]
+            new = alive0 * jnp.where(hit > 0.0, 0.0, 1.0)
+            return (new, alive, it + 1)
 
         alive, _, _ = jax.lax.while_loop(
-            cond, body, (alive0, jnp.zeros_like(alive0), jnp.int32(0))
+            cond, body, (alive0, jnp.full_like(alive0, -1.0), jnp.int32(0))
         )
-        alive_ref[pl.ds(start, t)] = alive.astype(jnp.float32)
+        alive_ref[pl.ds(start, t)] = alive
         return 0
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
