@@ -38,32 +38,42 @@ def _pair_iou(bx1, by1, bx2, by2, tx1, ty1, tx2, ty2):
 
 def _kernel(boxes_ref, keep_ref, alive_ref, *, n_pad: int, tile: int, block: int,
             iou_threshold: float):
+    # boxes_ref is [4, n_pad] (transposed): coordinate rows are lane-contiguous,
+    # 128x smaller VMEM footprint than an [n_pad, 4] layout
     t = tile
-    all_boxes = boxes_ref[:]
-    nonempty = ((all_boxes[:, 2] - all_boxes[:, 0]) > 0.0) & (
-        (all_boxes[:, 3] - all_boxes[:, 1]) > 0.0
+    nonempty = ((boxes_ref[2, :] - boxes_ref[0, :]) > 0.0) & (
+        (boxes_ref[3, :] - boxes_ref[1, :]) > 0.0
     )
     alive_ref[:] = nonempty.astype(jnp.float32)
 
     num_tiles = n_pad // t
     num_blocks = n_pad // block
     row_ids_block = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)[:, 0]
+    # strict upper-triangular mask, hoisted out of the tile loop
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    tri = (rows < cols).astype(jnp.float32)
 
     def tile_body(ti, _):
         start = pl.multiple_of(ti * t, t)
-        tb = boxes_ref[pl.ds(start, t), :]
-        tx1, ty1, tx2, ty2 = tb[:, 0], tb[:, 1], tb[:, 2], tb[:, 3]
+        tx1 = boxes_ref[0, pl.ds(start, t)]
+        ty1 = boxes_ref[1, pl.ds(start, t)]
+        tx2 = boxes_ref[2, pl.ds(start, t)]
+        ty2 = boxes_ref[3, pl.ds(start, t)]
 
         # cross-suppression: earlier surviving rows kill tile members.
         # (float accumulation: Mosaic can't broadcast-insert a minor dim on
         # sub-32-bit types, so the row mask is carried as f32)
         def block_body(bi, dead):
             bstart = pl.multiple_of(bi * block, block)
-            bb = boxes_ref[pl.ds(bstart, block), :]
             al = alive_ref[pl.ds(bstart, block)]
             earlier = ((row_ids_block + bstart) < start).astype(jnp.float32)
             iou = _pair_iou(
-                bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], tx1, ty1, tx2, ty2
+                boxes_ref[0, pl.ds(bstart, block)],
+                boxes_ref[1, pl.ds(bstart, block)],
+                boxes_ref[2, pl.ds(bstart, block)],
+                boxes_ref[3, pl.ds(bstart, block)],
+                tx1, ty1, tx2, ty2,
             )
             hit = (iou > iou_threshold).astype(jnp.float32) * (al * earlier)[:, None]
             return jnp.maximum(dead, jnp.max(hit, axis=0))
@@ -74,9 +84,7 @@ def _kernel(boxes_ref, keep_ref, alive_ref, *, n_pad: int, tile: int, block: int
 
         # self-suppression fixed point within the tile
         iou_tile = _pair_iou(tx1, ty1, tx2, ty2, tx1, ty1, tx2, ty2)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-        supp = ((iou_tile > iou_threshold) & (rows < cols)).astype(jnp.float32)
+        supp = (iou_tile > iou_threshold).astype(jnp.float32) * tri
         alive0 = alive_ref[pl.ds(start, t)] * (1.0 - dead)  # f32 {0, 1}
 
         # f32 carries only: Mosaic fails to legalize bool-vector while carries
@@ -114,7 +122,9 @@ def nms_sorted_mask_pallas(
     t = max(tile_size, 1024)
     block = t
     n_pad = ((n + block - 1) // block) * block
-    boxes = jnp.pad(sorted_boxes.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    boxes = jnp.pad(
+        sorted_boxes.astype(jnp.float32), ((0, n_pad - n), (0, 0))
+    ).T  # [4, n_pad] lane-contiguous layout
     kernel = functools.partial(
         _kernel, n_pad=n_pad, tile=t, block=min(block, n_pad),
         iou_threshold=iou_threshold,
