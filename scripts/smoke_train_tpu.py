@@ -22,12 +22,15 @@ def synthetic_records(n, h=500, w=700, num_classes=20, seed=0):
     rng = np.random.RandomState(seed)
     recs = []
     for i in range(n):
+        # base classes only: base training masks novel logits to -inf, so novel
+        # GT would (correctly) produce astronomical CE loss
+        base_ids = [0, 1, 3, 4, 6, 7, 8, 10, 11, 12, 14]
         anns = []
         for _ in range(rng.randint(1, 6)):
             x1, y1 = rng.randint(0, w - 120), rng.randint(0, h - 120)
             bw, bh = rng.randint(40, 120), rng.randint(40, 120)
             anns.append({
-                "category_id": int(rng.randint(0, 15)),
+                "category_id": int(base_ids[rng.randint(len(base_ids))]),
                 "bbox": [float(x1), float(y1), float(x1 + bw), float(y1 + bh)],
             })
         recs.append({
@@ -89,10 +92,12 @@ def main():
     tmp = create_train_state(model, optax.sgd(0.0), jax.random.PRNGKey(0))
     optimizer = build_optimizer(cfg, tmp.params)
 
+    from unit_tpu.data.loader import Prefetcher
+
     trainer = TrainerNoMeta(
         model, optimizer,
-        strong_iter=iter(build_strong_loader(cfg, image_loader=fake_loader)),
-        weak_iter=iter(build_classifier_loader(cfg, image_loader=fake_loader)),
+        strong_iter=Prefetcher(iter(build_strong_loader(cfg, image_loader=fake_loader)), depth=3),
+        weak_iter=Prefetcher(iter(build_classifier_loader(cfg, image_loader=fake_loader)), depth=3),
     )
     trainer.init_state()
     print("state initialized; stepping...", flush=True)
