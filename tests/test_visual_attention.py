@@ -50,3 +50,48 @@ def test_meta_train_step_with_rank_loss():
     )
     for k in ("loss_rank_margin", "loss_rank_reg", "loss_rank_cls"):
         assert k in losses and np.isfinite(float(losses[k])), k
+
+
+def test_matrix_head_nonstandard_feature_dim():
+    """sim_matrix sizes itself from res2_out_channels (no 2048 hardcode)."""
+    head = VisualAttentionHead(
+        num_classes=5, depth=26, res2_out_channels=8, mode="matrix",
+        pooler_resolution=4,
+    )
+    rng = np.random.RandomState(0)
+    c, k = 3, 2
+    feats = jnp.asarray(rng.rand(c, k, 8, 8, 32).astype(np.float32))
+    boxes = jnp.tile(jnp.asarray([[8.0, 8.0, 96.0, 96.0]]), (c, k, 1))[..., :4]
+    boxes = boxes.reshape(c, k, 4)
+    valid = jnp.ones((c,), bool)
+    base_ids = np.asarray([0, 1, 2])
+    variables = head.init(
+        jax.random.PRNGKey(0), feats, boxes, valid, base_ids,
+        method=VisualAttentionHead.support_prototypes,
+    )
+    d = 8 * 8  # res2_out_channels * 8
+    kernel = variables["params"]["sim_matrix"]["kernel"]
+    assert kernel.shape == (d, d)
+    np.testing.assert_allclose(np.asarray(kernel), np.eye(d))
+
+    att = head.apply(
+        variables, feats, boxes, valid, base_ids,
+        method=VisualAttentionHead.support_prototypes,
+    )
+    assert att.mean.shape == (6, d)
+
+    # support_prototypes doesn't touch rank_loss_classifier; init it through
+    # rank_loss and merge the two param trees
+    pooled = jnp.asarray(rng.rand(4, 4, 4, 32).astype(np.float32))
+    v2 = head.init(
+        jax.random.PRNGKey(1), pooled, jnp.asarray([0, 1, 2, 5]),
+        jnp.ones((4,), bool), att, base_ids,
+        method=VisualAttentionHead.rank_loss,
+    )
+    merged = {"params": {**v2["params"], **variables["params"]}}
+    losses = head.apply(
+        merged, pooled, jnp.asarray([0, 1, 2, 5]), jnp.ones((4,), bool),
+        att, base_ids, method=VisualAttentionHead.rank_loss,
+    )
+    for key in ("loss_rank_margin", "loss_rank_reg", "loss_rank_cls"):
+        assert np.isfinite(float(losses[key])), key

@@ -57,6 +57,7 @@ class ModelConfig:
     pooler_scale: float = 1.0 / 16.0
     pooler_type: str = "ROIAlignV2"   # ROIAlignV2 | ROIAlign | ROIPool
     sampling_ratio: int = 2
+    res2_out_channels: int = 256      # MODEL.RESNETS.RES2_OUT_CHANNELS; Res5 emits 8x this
     rpn_self_training: bool = False   # WeaklySupervisedRCNNRPN (rcnn.py:544-705)
     weak_rpn_score_threshold: float = 0.99
     roi_batch_size: int = 512
@@ -128,6 +129,7 @@ class ModelConfig:
                 "InceptionResNetV2": 1088,
             }.get(cfg.MODEL.BACKBONE.NAME, 1024),
             depth=cfg.MODEL.RESNETS.DEPTH,
+            res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
             num_classes=num_classes,
             base_ids=tuple(cfg.DATASETS.FEWSHOT.BASE_CLASSES_ID),
             novel_ids=tuple(cfg.DATASETS.FEWSHOT.NOVEL_CLASSES_ID),
@@ -205,7 +207,10 @@ class WSRCNN(nn.Module):
     def setup(self):
         mc = self.mc
         if mc.backbone_name == "build_resnet_backbone":
-            self.backbone = ResNetC4(depth=mc.depth, dtype=mc.dtype, name="backbone")
+            self.backbone = ResNetC4(
+                depth=mc.depth, res2_out_channels=mc.res2_out_channels,
+                dtype=mc.dtype, name="backbone",
+            )
         else:
             from .backbones import BACKBONE_REGISTRY
 
@@ -222,7 +227,8 @@ class WSRCNN(nn.Module):
 
         def make_box_head(name):
             if mc.box_head_name in ("Res5BoxHead", "Res5BoxHeadWithMask", ""):
-                return Res5(depth=mc.depth, dtype=mc.dtype, name=name)
+                return Res5(depth=mc.depth, res2_out_channels=mc.res2_out_channels,
+                            dtype=mc.dtype, name=name)
             from .box_heads import BOX_HEAD_REGISTRY
 
             return BOX_HEAD_REGISTRY.get(mc.box_head_name)(dtype=mc.dtype, name=name)
@@ -253,6 +259,7 @@ class WSRCNN(nn.Module):
             self.visual_attention = VisualAttentionHead(
                 num_classes=mc.num_classes,
                 depth=mc.depth,
+                res2_out_channels=mc.res2_out_channels,
                 mode=mc.attention_mode,
                 pooler_resolution=mc.pooler_resolution,
                 pooler_scale=mc.pooler_scale,

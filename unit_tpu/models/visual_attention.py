@@ -40,6 +40,7 @@ class VisualAttentionHead(nn.Module):
 
     num_classes: int
     depth: int = 50
+    res2_out_channels: int = 256  # meta Res5 emits 8x this (feature dim D)
     mode: str = "mean"          # 'mean' | 'mahalanobis' | 'matrix' | 'locatron'
     pooler_resolution: int = 14
     pooler_scale: float = 1.0 / 16.0
@@ -47,17 +48,21 @@ class VisualAttentionHead(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.meta_box_head = Res5(depth=self.depth, dtype=self.dtype, name="meta_box_head")
+        self.meta_box_head = Res5(
+            depth=self.depth, res2_out_channels=self.res2_out_channels,
+            dtype=self.dtype, name="meta_box_head",
+        )
         self.rank_loss_classifier = nn.Dense(
             self.num_classes + 1, kernel_init=nn.initializers.normal(0.01),
             bias_init=nn.initializers.zeros, name="rank_loss_classifier",
         )
         if self.mode in ("matrix", "locatron"):
-            # learned similarity matrix, identity init (MeanMatrixSimilarity,
-            # ref :212-216; Locatron variant :313-360 drops the prototype
-            # classification loss and the relu in compute_similarity)
+            # learned similarity matrix (square, feature-dim x feature-dim),
+            # identity init (MeanMatrixSimilarity, ref :212-216; Locatron
+            # variant :313-360 drops the prototype classification loss and the
+            # relu in compute_similarity)
             self.sim_matrix = nn.Dense(
-                2048 if self.depth >= 50 else 2048, use_bias=False,
+                self.res2_out_channels * 8, use_bias=False,
                 kernel_init=lambda key, shape, dtype=jnp.float32: jnp.eye(
                     shape[0], shape[1], dtype=dtype
                 ),
