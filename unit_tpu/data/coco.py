@@ -34,6 +34,46 @@ def polygons_to_boxmask(polys: List[List[float]], box, size: int = 28) -> np.nda
     return mask
 
 
+def rasterize_polygons(polys: List[List[float]], height: int, width: int) -> np.ndarray:
+    """Rasterize COCO polygon(s) at native image resolution (pixel-center
+    sampling, even-odd rule).  Exact counterpart of the reference's
+    pycocotools-RLE GT masks for segm evaluation (data/evaluators.py segm
+    path); only rows inside the polygons' vertical extent are scanned, and the
+    per-row edge intersections are vectorized over edges.
+    """
+    mask = np.zeros((height, width), bool)
+    for poly in polys:
+        pts = np.asarray(poly, np.float64).reshape(-1, 2)
+        if len(pts) < 3:
+            continue
+        x0, y0 = pts[:, 0], pts[:, 1]
+        x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+        lo = max(int(np.floor(y0.min() - 0.5)), 0)
+        hi = min(int(np.ceil(y0.max() + 0.5)), height)
+        if hi <= lo:
+            continue
+        ys = np.arange(lo, hi) + 0.5                        # [R] row centers
+        # crossing test per (row, edge), half-open so shared vertices count once
+        crosses = ((y0[None] <= ys[:, None]) & (ys[:, None] < y1[None])) | (
+            (y1[None] <= ys[:, None]) & (ys[:, None] < y0[None])
+        )
+        dy = np.where(y1 - y0 != 0, y1 - y0, 1.0)
+        t = (ys[:, None] - y0[None]) / dy[None]
+        xc = np.where(crosses, x0[None] + t * (x1[None] - x0[None]), np.inf)
+        xc.sort(axis=1)                                      # valid xs first
+        counts = crosses.sum(axis=1)
+        for r in range(len(ys)):
+            for a, b in zip(xc[r, 0:counts[r]:2], xc[r, 1:counts[r]:2]):
+                ca = max(int(np.ceil(a - 0.5)), 0)
+                cb = min(int(np.floor(b - 0.5)) + 1, width)
+                if cb > ca:
+                    # even-odd pairing yields disjoint spans within a polygon;
+                    # polygons of one instance merge by union (pycocotools
+                    # frPoly+merge semantics)
+                    mask[lo + r, ca:cb] = True
+    return mask
+
+
 def _fill_poly(px: np.ndarray, py: np.ndarray, size: int) -> np.ndarray:
     """Scanline polygon fill (even-odd rule) on a small grid."""
     mask = np.zeros((size, size), bool)
@@ -103,6 +143,8 @@ def load_coco_json(
                 rec_ann["box_mask"] = polygons_to_boxmask(
                     ann["segmentation"], rec_ann["bbox"], mask_size
                 )
+                # raw polygons kept for pixel-exact GT rasterization at eval
+                rec_ann["segmentation"] = ann["segmentation"]
             record["annotations"].append(rec_ann)
         if record["annotations"]:
             out.append(record)

@@ -78,6 +78,15 @@ class COCOEvaluator:
         for ann in record.get("annotations", []):
             x1, y1, x2, y2 = ann["bbox"]
             mask = ann.get("mask")
+            if mask is None and self.iou_type == "segm" and isinstance(
+                ann.get("segmentation"), list
+            ):
+                # pixel-exact polygon rasterization in the image frame
+                from ..data.coco import rasterize_polygons
+
+                mask = rasterize_polygons(
+                    ann["segmentation"], int(record["height"]), int(record["width"])
+                )
             if mask is None and ann.get("box_mask") is not None and self.iou_type == "segm":
                 # paste the GT-box-frame bitmask into the image frame
                 h, w = int(record["height"]), int(record["width"])
