@@ -71,6 +71,10 @@ class MultiEvaluator:
         for e in self.evaluators:
             e.process(*args, **kwargs)
 
+    def merge_from(self, other: "MultiEvaluator"):
+        for e, o in zip(self.evaluators, other.evaluators):
+            e.merge_from(o)
+
     def evaluate(self):
         out = {}
         for e in self.evaluators:

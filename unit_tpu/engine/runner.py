@@ -212,9 +212,9 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
 
 
 def _run_tta_eval(predict_batch, loader, evaluator, total):
+    # evaluator arrives with GT records already fed — do not reset it
     import numpy as np
 
-    evaluator.reset()
     for batch in loader:
         det = predict_batch(batch)
         boxes = np.asarray(det.boxes)[0] / batch["scale"][0]

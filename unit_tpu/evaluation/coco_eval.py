@@ -48,6 +48,10 @@ def _box_iou_matrix(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
     return out
 
 
+def _image_lists():
+    return defaultdict(list)
+
+
 class COCOEvaluator:
     """Accumulates per-image detections + GT and computes COCO stats.
 
@@ -67,8 +71,10 @@ class COCOEvaluator:
         self.reset()
 
     def reset(self):
-        self._gt = defaultdict(lambda: defaultdict(list))   # cls -> img -> list
-        self._dt = defaultdict(lambda: defaultdict(list))
+        # module-level factory (not a lambda): evaluators must stay picklable
+        # for the cross-host gather in inference_on_dataset
+        self._gt = defaultdict(_image_lists)   # cls -> img -> list
+        self._dt = defaultdict(_image_lists)
         self._images = set()
 
     # ------------------------------------------------------------- ingestion
@@ -122,6 +128,16 @@ class COCOEvaluator:
                 "score": float(scores[i]),
                 "mask": None if masks is None else np.asarray(masks[i]),
             })
+
+    def merge_from(self, other: "COCOEvaluator"):
+        """Fold another host's accumulated detections/GT in (multi-host eval)."""
+        for cid, per_img in other._gt.items():
+            for img, gts in per_img.items():
+                self._gt[cid][img].extend(gts)
+        for cid, per_img in other._dt.items():
+            for img, dts in per_img.items():
+                self._dt[cid][img].extend(dts)
+        self._images |= other._images
 
     # ------------------------------------------------------------- matching
     def _mask_iou(self, det, gts) -> np.ndarray:

@@ -24,7 +24,9 @@ def inference_on_dataset(
     total_images: Optional[int] = None,
     warmup: int = 1,
 ) -> dict:
-    evaluator.reset()
+    # NOTE: no evaluator.reset() here — callers (engine/runner.py eval_fn) feed
+    # GT records before handing the evaluator over; resetting would silently
+    # wipe them and score AP=0
     num_done = 0
     total_time = 0.0
     for batch_idx, batch in enumerate(loader):
@@ -60,6 +62,18 @@ def inference_on_dataset(
                 "inference %d/%d (%.4f s/img, ETA %.0fs)",
                 num_done, total_images, per_img, eta,
             )
+    import jax
+
+    if jax.process_count() > 1:
+        # every host ran its loader shard; fold the other hosts' accumulated
+        # predictions/GT in before scoring (reference: comm.gather to rank 0,
+        # data/evaluators.py:159-166 — here every host computes the metrics)
+        from ..parallel.comm import gather_objects
+
+        me = jax.process_index()
+        for idx, other in enumerate(gather_objects(evaluator)):
+            if idx != me:
+                evaluator.merge_from(other)
     results = evaluator.evaluate()
     if num_done > warmup:
         results["inference_seconds_per_image"] = total_time / (num_done - warmup)

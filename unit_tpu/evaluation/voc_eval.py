@@ -143,6 +143,15 @@ class PascalVOCEvaluator:
                 (image_id, float(score), box[0], box[1], box[2], box[3])
             )
 
+    def merge_from(self, other: "PascalVOCEvaluator"):
+        """Fold another host's accumulated detections/GT in (multi-host eval:
+        each host runs its loader shard; reference gathers per-rank results,
+        data/evaluators.py:159-166)."""
+        for cid, dets in other._dets.items():
+            self._dets[cid].extend(dets)
+        for cid, per_img in other._gt.items():
+            self._gt[cid].update(per_img)
+
     def evaluate(self) -> dict:
         aps = defaultdict(list)  # threshold -> per-class AP
         for cid in range(len(self.class_names)):

@@ -226,7 +226,12 @@ class WSRCNN(nn.Module):
         )
 
         def make_box_head(name):
-            if mc.box_head_name in ("Res5BoxHead", "Res5BoxHeadWithMask", ""):
+            # Res5BoxHeadNOTE (ref box_head.py:91-135) differs from Res5BoxHead
+            # only in its torch in-channel bookkeeping; flax infers input
+            # channels, so all three names resolve to the same module
+            if mc.box_head_name in (
+                "Res5BoxHead", "Res5BoxHeadWithMask", "Res5BoxHeadNOTE", ""
+            ):
                 return Res5(depth=mc.depth, res2_out_channels=mc.res2_out_channels,
                             dtype=mc.dtype, name=name)
             from .box_heads import BOX_HEAD_REGISTRY
