@@ -310,18 +310,22 @@ class WSRCNN(nn.Module):
         """feats [B, h, w, C], boxes [B, S, 4] -> [B*S, P, P, C]."""
         mc = self.mc
         if mc.pooler_type == "ROIPool":
-            pool = lambda f, b: roi_align_ops.roi_pool_max(
-                f, b, mc.pooler_resolution, mc.pooler_scale
-            )
+            out = jax.vmap(
+                lambda f, b: roi_align_ops.roi_pool_max(
+                    f, b, mc.pooler_resolution, mc.pooler_scale
+                )
+            )(feats, boxes)
         else:
-            pool = lambda f, b: roi_align_ops.roi_align(
-                f, b, mc.pooler_resolution, mc.pooler_scale, mc.sampling_ratio,
+            # keep the backbone's bf16: the pallas kernel loads rows in the
+            # feature dtype (half the DMA traffic) and interpolates in f32.
+            # Batch-native entry: one pipelined kernel over the whole batch
+            # instead of a sequential per-image vmap while-loop.
+            out = roi_align_ops.roi_align_batched(
+                feats, boxes, mc.pooler_resolution, mc.pooler_scale,
+                mc.sampling_ratio,
                 aligned=mc.pooler_type == "ROIAlignV2",
                 impl=mc.roi_align_impl if mc.pooler_type == "ROIAlignV2" else "xla",
             )
-        # keep the backbone's bf16: the pallas kernel loads rows in the feature
-        # dtype (half the DMA traffic) and interpolates in f32
-        out = jax.vmap(pool)(feats, boxes)
         return out.reshape((-1,) + out.shape[2:])
 
     def box_features(self, pooled: jnp.ndarray, head: str = "box") -> jnp.ndarray:

@@ -161,6 +161,40 @@ def roi_align(
     )
 
 
+def roi_align_batched(
+    features: jnp.ndarray,    # [B, H, W, C]
+    rois: jnp.ndarray,        # [B, N, 4]
+    output_size: int = 14,
+    spatial_scale: float = 1.0 / 16.0,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+    impl: str = "xla",
+    chunk_size: int = 64,
+) -> jnp.ndarray:
+    """Whole-batch ROIAlign -> [B, N, P, P, C].
+
+    On TPU this dispatches to the batch-native Pallas kernel (grid=(B, N)):
+    ``jax.vmap`` over the single-image kernel lowers to a sequential per-image
+    ``lax.while`` of separate kernel launches, which profiling showed cost
+    ~42% of the train step; the batched grid pipelines the whole batch in one
+    invocation."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from .roi_align_pallas import roi_align_pallas_batched
+
+        return roi_align_pallas_batched(
+            features, rois, output_size, spatial_scale, sampling_ratio
+        )
+    return jax.vmap(
+        lambda f, r: roi_align_xla(
+            f, r, output_size=output_size, spatial_scale=spatial_scale,
+            sampling_ratio=sampling_ratio, aligned=aligned,
+            chunk_size=chunk_size,
+        )
+    )(features, rois)
+
+
 def roi_pool_max(
     features: jnp.ndarray,
     rois: jnp.ndarray,

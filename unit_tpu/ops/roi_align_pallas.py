@@ -1,10 +1,17 @@
-"""Pallas TPU kernel for ROIAlignV2 forward.
+"""Pallas TPU kernel for ROIAlignV2 forward (batch-native).
 
 The hot op of the C4 detector (SURVEY.md §2.6): pooling 512-1000 ROIs x 14x14
-bins from a [H, W, C>=1024] feature map.  Kernel design:
+bins from [B, H, W, C>=1024] feature maps.  Kernel design:
 
-  * grid = one program per ROI; the feature map stays in HBM (``pl.ANY``) and
-    the ROI boxes are scalar-prefetched so DMA indices are computable up front.
+  * grid = (B, N) — one program per (image, ROI).  Batch lives IN the grid:
+    wrapping the single-image kernel in ``jax.vmap`` lowers to a sequential
+    ``lax.while`` over images (each iteration a separate kernel launch), which
+    profiling showed cost ~42% of the train step; the batched grid keeps the
+    whole batch inside one pipelined kernel invocation.
+  * the feature map stays in HBM (``pl.ANY``), flattened to [(B*H), W, C] so
+    per-row DMAs address row ``b*H + y`` — ROI rows never cross an image
+    boundary because y is clamped to [0, H-2].
+  * ROI boxes are scalar-prefetched so DMA indices are computable up front.
   * per output row and y-sample, the two needed feature rows are DMA'd
     HBM->VMEM as one contiguous [2, W, C] slice.
   * interpolation along x runs on the MXU: a [S, W] two-nonzero weight matrix
@@ -15,8 +22,8 @@ bins from a [H, W, C>=1024] feature map.  Kernel design:
     out-of-range samples contribute zero), verified against the XLA
     implementation in tests.
 
-Backward uses the XLA implementation via ``jax.custom_vjp`` (scatter-add
-gathers fuse well there, and the backward is off the inference hot path).
+Backward is the matching batch-native Pallas kernel in
+``roi_align_pallas_bwd.py`` via ``jax.custom_vjp``.
 """
 
 from __future__ import annotations
@@ -28,20 +35,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .roi_align import roi_align_xla
-
 
 def _kernel(rois_ref, feat_ref, out_ref, row_buf, sem, *,
             output_size: int, spatial_scale: float, sampling_ratio: int,
             height: int, width: int, padded_width: int):
     p = output_size
     s = sampling_ratio
-    n = pl.program_id(0)
+    b = pl.program_id(0)
+    n = pl.program_id(1)
 
-    x1 = rois_ref[n, 0] * spatial_scale - 0.5
-    y1 = rois_ref[n, 1] * spatial_scale - 0.5
-    x2 = rois_ref[n, 2] * spatial_scale - 0.5
-    y2 = rois_ref[n, 3] * spatial_scale - 0.5
+    x1 = rois_ref[b, n, 0] * spatial_scale - 0.5
+    y1 = rois_ref[b, n, 1] * spatial_scale - 0.5
+    x2 = rois_ref[b, n, 2] * spatial_scale - 0.5
+    y2 = rois_ref[b, n, 3] * spatial_scale - 0.5
     bin_h = (y2 - y1) / p
     bin_w = (x2 - x1) / p
 
@@ -64,6 +70,8 @@ def _kernel(rois_ref, feat_ref, out_ref, row_buf, sem, *,
     wx = wx + jnp.where(cols == x1b, lx[:, None], 0.0)
     wx = jnp.where(x_oob[:, None], 0.0, wx)
 
+    row0 = b * height  # first flattened row of this image
+
     # NOTE: a rolling row-cache with predicated DMAs was tried here and measured
     # 4x SLOWER than the straight 2-row DMA (conditional copies defeat Mosaic's
     # DMA pipelining) — keep the simple unconditional fetch.
@@ -80,7 +88,7 @@ def _kernel(rois_ref, feat_ref, out_ref, row_buf, sem, *,
             y0i = jnp.maximum(y0i, 0)
 
             dma = pltpu.make_async_copy(
-                feat_ref.at[pl.ds(y0i, 2)], row_buf, sem
+                feat_ref.at[pl.ds(row0 + y0i, 2)], row_buf, sem
             )
             dma.start()
             dma.wait()
@@ -101,53 +109,149 @@ def _kernel(rois_ref, feat_ref, out_ref, row_buf, sem, *,
         acc = jax.lax.fori_loop(0, s, sample_body, acc)
         # average s x s samples per bin: pairs along the sample axis
         acc = acc.reshape(p, s, -1).sum(axis=1) / (s * s)
-        out_ref[0, ph] = acc
+        out_ref[0, 0, ph] = acc
         return 0
 
     jax.lax.fori_loop(0, p, row_body, 0)
 
 
+def _kernel_vmem(rois_ref, feat_ref, out_ref, feat_vmem, sem, *,
+                 output_size: int, spatial_scale: float, sampling_ratio: int,
+                 height: int, width: int, padded_width: int):
+    """VMEM-resident variant: the whole [H, Wp, C] feature map of image b is
+    DMA'd into a persistent VMEM scratch once (at the image's first ROI) and
+    every bilinear row read is then a VMEM load — profiling showed the
+    row-DMA variant spends ~5.6 GB of HBM traffic per 512 ROIs re-fetching
+    full-width rows, leaving the kernel DMA-bound at ~11 ms/image."""
+    p = output_size
+    s = sampling_ratio
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _load_image():
+        dma = pltpu.make_async_copy(feat_ref.at[b], feat_vmem, sem)
+        dma.start()
+        dma.wait()
+
+    x1 = rois_ref[b, n, 0] * spatial_scale - 0.5
+    y1 = rois_ref[b, n, 1] * spatial_scale - 0.5
+    x2 = rois_ref[b, n, 2] * spatial_scale - 0.5
+    y2 = rois_ref[b, n, 3] * spatial_scale - 0.5
+    bin_h = (y2 - y1) / p
+    bin_w = (x2 - x1) / p
+
+    ks = jax.lax.broadcasted_iota(jnp.int32, (p * s, 1), 0)[:, 0].astype(jnp.float32)
+    frac = ((ks % s) + 0.5) / s
+    bins = jnp.floor(ks / s)
+    xs = x1 + (bins + frac) * bin_w
+    x_oob = (xs < -1.0) | (xs > width)
+    xc = jnp.clip(xs, 0.0, width - 1)
+    x0 = jnp.floor(xc)
+    lx = xc - x0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p * s, padded_width), 1).astype(
+        jnp.float32
+    )
+    x0b = x0[:, None]
+    x1b = jnp.minimum(x0 + 1, width - 1)[:, None]
+    wx = jnp.where(cols == x0b, (1.0 - lx)[:, None], 0.0)
+    wx = wx + jnp.where(cols == x1b, lx[:, None], 0.0)
+    wx = jnp.where(x_oob[:, None], 0.0, wx)
+
+    def row_body(ph, _):
+        acc = jnp.zeros((p * s, out_ref.shape[-1]), jnp.float32)
+
+        def sample_body(iy, acc):
+            y = y1 + (ph + (iy + 0.5) / s) * bin_h
+            y_oob = (y < -1.0) | (y > height)
+            yc = jnp.clip(y, 0.0, height - 1)
+            y0 = jnp.floor(yc)
+            ly = yc - y0
+            y0i = jnp.minimum(y0.astype(jnp.int32), height - 2)
+            y0i = jnp.maximum(y0i, 0)
+
+            top = feat_vmem[y0i].astype(jnp.float32)
+            bot = feat_vmem[y0i + 1].astype(jnp.float32)
+            ly = jnp.where(y0.astype(jnp.int32) > y0i, 1.0, ly)
+            row = top * (1.0 - ly) + bot * ly  # [Wp, C]
+            row = jnp.where(y_oob, 0.0, row)
+            samples = jax.lax.dot_general(
+                wx, row, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return acc + samples
+
+        acc = jax.lax.fori_loop(0, s, sample_body, acc)
+        acc = acc.reshape(p, s, -1).sum(axis=1) / (s * s)
+        out_ref[0, 0, ph] = acc
+        return 0
+
+    jax.lax.fori_loop(0, p, row_body, 0)
+
+
+# VMEM working-set budget for keeping a whole feature map resident (the chip
+# has ~16 MiB; leave room for the double-buffered output blocks + weights)
+_VMEM_FEATURE_BUDGET_BYTES = 12 * 1024 * 1024
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(2, 3, 4)
 )
-def roi_align_pallas(features, rois, output_size=14, spatial_scale=1.0 / 16.0,
-                     sampling_ratio=2):
-    """ROIAlignV2 (always 'aligned') forward on TPU via Pallas."""
+def roi_align_pallas_batched(features, rois, output_size=14,
+                             spatial_scale=1.0 / 16.0, sampling_ratio=2):
+    """ROIAlignV2 (always 'aligned') on TPU: [B,H,W,C], [B,N,4] -> [B,N,P,P,C]."""
     return _forward(features, rois, output_size, spatial_scale, sampling_ratio)
 
 
 def _forward(features, rois, output_size, spatial_scale, sampling_ratio):
-    h, w, c = features.shape
+    bsz, h, w, c = features.shape
     # DMA slices of the HBM feature map need the row dimension aligned to the
     # dtype's sublane tiling (8 for f32, 16 for bf16).
     align = 16 if features.dtype == jnp.bfloat16 else 8
     wp = ((w + align - 1) // align) * align
     if wp != w:
-        features = jnp.pad(features, ((0, 0), (0, wp - w), (0, 0)))
-    n = rois.shape[0]
+        features = jnp.pad(features, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+    n = rois.shape[1]
     p = output_size
-    kernel = functools.partial(
-        _kernel, output_size=p, spatial_scale=spatial_scale,
-        sampling_ratio=sampling_ratio, height=h, width=w, padded_width=wp,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, p, p, c), lambda n_, rois_: (n_, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
+    feat_bytes = h * wp * c * features.dtype.itemsize
+    if feat_bytes <= _VMEM_FEATURE_BUDGET_BYTES:
+        kernel = functools.partial(
+            _kernel_vmem, output_size=p, spatial_scale=spatial_scale,
+            sampling_ratio=sampling_ratio, height=h, width=w, padded_width=wp,
+        )
+        scratch = [
+            pltpu.VMEM((h, wp, c), features.dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
+        feat_arg = features
+    else:
+        # feature map too big for VMEM: per-row DMA fallback over the
+        # flattened [(B*H), W, C] layout
+        kernel = functools.partial(
+            _kernel, output_size=p, spatial_scale=spatial_scale,
+            sampling_ratio=sampling_ratio, height=h, width=w, padded_width=wp,
+        )
+        scratch = [
             pltpu.VMEM((2, wp, c), features.dtype),
             pltpu.SemaphoreType.DMA,
-        ],
+        ]
+        feat_arg = features.reshape(bsz * h, wp, c)  # free: contiguous layout
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, n),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 1, p, p, c), lambda b_, n_, rois_: (b_, n_, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, p, p, c), jnp.float32),
-    )(rois, features)
+        out_shape=jax.ShapeDtypeStruct((bsz, n, p, p, c), jnp.float32),
+    )(rois, feat_arg)
     return out
 
 
@@ -158,13 +262,21 @@ def _fwd(features, rois, output_size, spatial_scale, sampling_ratio):
 
 def _bwd(output_size, spatial_scale, sampling_ratio, residuals, g):
     features, rois = residuals
-    from .roi_align_pallas_bwd import roi_align_backward_pallas
+    from .roi_align_pallas_bwd import roi_align_backward_pallas_batched
 
-    df = roi_align_backward_pallas(
+    df = roi_align_backward_pallas_batched(
         g, rois, output_size, spatial_scale, sampling_ratio,
         tuple(features.shape),
     ).astype(features.dtype)
     return df, jnp.zeros_like(rois)
 
 
-roi_align_pallas.defvjp(_fwd, _bwd)
+roi_align_pallas_batched.defvjp(_fwd, _bwd)
+
+
+def roi_align_pallas(features, rois, output_size=14, spatial_scale=1.0 / 16.0,
+                     sampling_ratio=2):
+    """Single-image wrapper: [H,W,C], [N,4] -> [N,P,P,C] (batch-1 grid)."""
+    return roi_align_pallas_batched(
+        features[None], rois[None], output_size, spatial_scale, sampling_ratio
+    )[0]

@@ -1,16 +1,22 @@
-"""Pallas TPU kernel for the ROIAlign backward pass (d(out)/d(features)).
+"""Pallas TPU kernel for the ROIAlign backward pass (d(out)/d(features)),
+batch-native.
 
 The forward kernel (roi_align_pallas.py) made the XLA scatter-add backward the
 dominant ROI cost in the train step; this kernel mirrors the forward's design:
 
-  * grid = one program per ROI; the incoming gradient block [P, P, C] arrives in
-    VMEM; the feature-gradient accumulator lives in HBM, zero-initialized by
-    aliasing a zeros operand (Pallas outputs are uninitialized otherwise).
+  * grid = (B, N) — one program per (image, ROI); wrapping the single-image
+    kernel in ``jax.vmap`` lowers to a sequential per-image ``lax.while``
+    (measured ~37 ms/stream in the train step), the batched grid keeps all
+    images in one pipelined invocation.
+  * the incoming gradient block [P, P, C] arrives in VMEM; the
+    feature-gradient accumulator lives in HBM flattened to [(B*H), Wp, C],
+    zero-initialized by aliasing a zeros operand (Pallas outputs are
+    uninitialized otherwise).
   * per output row and y-sample: expand the row gradient to x-samples, matmul
     with the transposed interpolation weight matrix on the MXU
     (d(row) = Wx^T @ g_samples), then read-modify-write the two affected
-    feature rows over DMA.  The TPU grid is sequential, so cross-ROI
-    accumulation into HBM is race-free.
+    feature rows (``b*H + y``) over DMA.  The TPU grid is sequential, so
+    cross-ROI accumulation into HBM is race-free.
 """
 
 from __future__ import annotations
@@ -28,12 +34,13 @@ def _bwd_kernel(rois_ref, g_ref, dfeat_in_ref, dfeat_ref, rows_buf, add_buf, sem
                 height: int, width: int, padded_width: int):
     p = output_size
     s = sampling_ratio
-    n = pl.program_id(0)
+    b = pl.program_id(0)
+    n = pl.program_id(1)
 
-    x1 = rois_ref[n, 0] * spatial_scale - 0.5
-    y1 = rois_ref[n, 1] * spatial_scale - 0.5
-    x2 = rois_ref[n, 2] * spatial_scale - 0.5
-    y2 = rois_ref[n, 3] * spatial_scale - 0.5
+    x1 = rois_ref[b, n, 0] * spatial_scale - 0.5
+    y1 = rois_ref[b, n, 1] * spatial_scale - 0.5
+    x2 = rois_ref[b, n, 2] * spatial_scale - 0.5
+    y2 = rois_ref[b, n, 3] * spatial_scale - 0.5
     bin_h = (y2 - y1) / p
     bin_w = (x2 - x1) / p
 
@@ -57,9 +64,10 @@ def _bwd_kernel(rois_ref, g_ref, dfeat_in_ref, dfeat_ref, rows_buf, add_buf, sem
     wx_bins = wx.reshape(p, s, padded_width).sum(axis=1)  # [P, Wp]
 
     inv_ss = 1.0 / (s * s)
+    row0 = b * height
 
     def row_body(ph, _):
-        g_row = g_ref[0, ph].astype(jnp.float32) * inv_ss  # [P, C]
+        g_row = g_ref[0, 0, ph].astype(jnp.float32) * inv_ss  # [P, C]
 
         def sample_body(iy, _):
             y = y1 + (ph + (iy + 0.5) / s) * bin_h
@@ -80,12 +88,16 @@ def _bwd_kernel(rois_ref, g_ref, dfeat_in_ref, dfeat_ref, rows_buf, add_buf, sem
             d_row = jnp.where(y_oob, 0.0, d_row)
 
             # read-modify-write the two affected feature rows
-            rd = pltpu.make_async_copy(dfeat_ref.at[pl.ds(y0i, 2)], rows_buf, sem)
+            rd = pltpu.make_async_copy(
+                dfeat_ref.at[pl.ds(row0 + y0i, 2)], rows_buf, sem
+            )
             rd.start()
             rd.wait()
             add_buf[0] = rows_buf[0] + d_row * (1.0 - ly)
             add_buf[1] = rows_buf[1] + d_row * ly
-            wr = pltpu.make_async_copy(add_buf, dfeat_ref.at[pl.ds(y0i, 2)], sem)
+            wr = pltpu.make_async_copy(
+                add_buf, dfeat_ref.at[pl.ds(row0 + y0i, 2)], sem
+            )
             wr.start()
             wr.wait()
             return 0
@@ -96,30 +108,158 @@ def _bwd_kernel(rois_ref, g_ref, dfeat_in_ref, dfeat_ref, rows_buf, add_buf, sem
     jax.lax.fori_loop(0, p, row_body, 0)
 
 
+def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
+                     output_size: int, spatial_scale: float,
+                     sampling_ratio: int, height: int, width: int,
+                     half_width: int, num_rois: int):
+    """VMEM-accumulator variant: the feature gradient is accumulated in a
+    persistent [H, Wh, C] f32 VMEM scratch (one width-slice of the map at a
+    time, grid=(B, splits, N)) and written to HBM once per (image, slice) —
+    the RMW variant's two-row read+write DMAs per y-sample cost ~11 GB of HBM
+    traffic per 512 ROIs and dominated the train step's backward."""
+    p = output_size
+    s = sampling_ratio
+    b = pl.program_id(0)
+    hsplit = pl.program_id(1)
+    n = pl.program_id(2)
+    hoff = hsplit * half_width
+
+    @pl.when(n == 0)
+    def _zero_acc():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x1 = rois_ref[b, n, 0] * spatial_scale - 0.5
+    y1 = rois_ref[b, n, 1] * spatial_scale - 0.5
+    x2 = rois_ref[b, n, 2] * spatial_scale - 0.5
+    y2 = rois_ref[b, n, 3] * spatial_scale - 0.5
+    bin_h = (y2 - y1) / p
+    bin_w = (x2 - x1) / p
+
+    ks = jax.lax.broadcasted_iota(jnp.int32, (p * s, 1), 0)[:, 0].astype(jnp.float32)
+    frac = ((ks % s) + 0.5) / s
+    bins = jnp.floor(ks / s)
+    xs = x1 + (bins + frac) * bin_w
+    x_oob = (xs < -1.0) | (xs > width)
+    xc = jnp.clip(xs, 0.0, width - 1)
+    x0 = jnp.floor(xc)
+    lx = xc - x0
+    # weight matrix over THIS width slice's global columns [hoff, hoff+Wh)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p * s, half_width), 1) + hoff
+    cols = cols.astype(jnp.float32)
+    x0b = x0[:, None]
+    x1b = jnp.minimum(x0 + 1, width - 1)[:, None]
+    wx = jnp.where(cols == x0b, (1.0 - lx)[:, None], 0.0)
+    wx = wx + jnp.where(cols == x1b, lx[:, None], 0.0)
+    wx = jnp.where(x_oob[:, None], 0.0, wx)  # [P*s, Wh]
+    wx_bins = wx.reshape(p, s, half_width).sum(axis=1)  # [P, Wh]
+
+    inv_ss = 1.0 / (s * s)
+
+    def row_body(ph, _):
+        g_row = g_ref[0, 0, ph].astype(jnp.float32) * inv_ss  # [P, C]
+
+        def sample_body(iy, _):
+            y = y1 + (ph + (iy + 0.5) / s) * bin_h
+            y_oob = (y < -1.0) | (y > height)
+            yc = jnp.clip(y, 0.0, height - 1)
+            y0 = jnp.floor(yc)
+            ly = yc - y0
+            y0i = jnp.minimum(y0.astype(jnp.int32), height - 2)
+            y0i = jnp.maximum(y0i, 0)
+            ly = jnp.where(y0.astype(jnp.int32) > y0i, 1.0, ly)
+
+            d_row = jax.lax.dot_general(
+                wx_bins, g_row, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [Wh, C]
+            d_row = jnp.where(y_oob, 0.0, d_row)
+            acc_ref[y0i] = acc_ref[y0i] + d_row * (1.0 - ly)
+            acc_ref[y0i + 1] = acc_ref[y0i + 1] + d_row * ly
+            return 0
+
+        jax.lax.fori_loop(0, s, sample_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, p, row_body, 0)
+
+    @pl.when(n == num_rois - 1)
+    def _flush():
+        wr = pltpu.make_async_copy(
+            acc_ref, dfeat_ref.at[b, :, pl.ds(hoff, half_width)], sem
+        )
+        wr.start()
+        wr.wait()
+
+
+# budget for the f32 VMEM gradient accumulator slice (chip VMEM ~16 MiB,
+# leave room for the double-buffered incoming-gradient blocks)
+_VMEM_ACC_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _pick_splits(h: int, wp: int, c: int) -> int:
+    for k in (1, 2, 4, 8, 16):
+        if wp % (k * 8) == 0 and h * (wp // k) * c * 4 <= _VMEM_ACC_BUDGET_BYTES:
+            return k
+    return 0  # no feasible slice -> HBM read-modify-write fallback
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def roi_align_backward_pallas(
-    g: jnp.ndarray,        # [N, P, P, C] output gradient
-    rois: jnp.ndarray,     # [N, 4]
+def roi_align_backward_pallas_batched(
+    g: jnp.ndarray,        # [B, N, P, P, C] output gradient
+    rois: jnp.ndarray,     # [B, N, 4]
     output_size: int,
     spatial_scale: float,
     sampling_ratio: int,
-    feature_shape=None,    # (H, W, C)
+    feature_shape=None,    # (B, H, W, C)
 ) -> jnp.ndarray:
-    h, w, c = feature_shape
+    bsz, h, w, c = feature_shape
     wp = ((w + 7) // 8) * 8
-    n = rois.shape[0]
+    n = rois.shape[1]
     p = output_size
+    splits = _pick_splits(h, wp, c)
+    if splits:
+        half_width = wp // splits
+        kernel = functools.partial(
+            _bwd_kernel_vmem, output_size=p, spatial_scale=spatial_scale,
+            sampling_ratio=sampling_ratio, height=h, width=w,
+            half_width=half_width, num_rois=n,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, splits, n),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, p, p, c),
+                    lambda b_, h_, n_, rois_: (b_, n_, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((h, half_width, c), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bsz, h, wp, c), jnp.float32),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(rois, g.astype(jnp.float32))
+        return out[:, :, :w]
+
     kernel = functools.partial(
         _bwd_kernel, output_size=p, spatial_scale=spatial_scale,
         sampling_ratio=sampling_ratio, height=h, width=w, padded_width=wp,
     )
-    zeros = jnp.zeros((h, wp, c), jnp.float32)
+    zeros = jnp.zeros((bsz * h, wp, c), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n,),
+        grid=(bsz, n),
         in_specs=[
             pl.BlockSpec(
-                (1, p, p, c), lambda n_, rois_: (n_, 0, 0, 0),
+                (1, 1, p, p, c), lambda b_, n_, rois_: (b_, n_, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # zeros -> aliased output
@@ -134,8 +274,24 @@ def roi_align_backward_pallas(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((h, wp, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz * h, wp, c), jnp.float32),
         input_output_aliases={2: 0},  # zeros operand (after scalar prefetch)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(rois, g.astype(jnp.float32), zeros)
-    return out[:, :w]
+    return out.reshape(bsz, h, wp, c)[:, :, :w]
+
+
+def roi_align_backward_pallas(
+    g: jnp.ndarray,        # [N, P, P, C]
+    rois: jnp.ndarray,     # [N, 4]
+    output_size: int,
+    spatial_scale: float,
+    sampling_ratio: int,
+    feature_shape=None,    # (H, W, C)
+) -> jnp.ndarray:
+    """Single-image wrapper over the batched kernel."""
+    h, w, c = feature_shape
+    return roi_align_backward_pallas_batched(
+        g[None], rois[None], output_size, spatial_scale, sampling_ratio,
+        (1, h, w, c),
+    )[0]
