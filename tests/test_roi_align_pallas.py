@@ -123,4 +123,8 @@ def test_bwd_split_accumulator_matches(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         gp = jax.grad(loss_p)(feats)
     gx = jax.grad(loss_x)(feats)
-    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-4)
+    # the split kernel stages per-ROI row gradients in bf16 (accumulation
+    # stays f32) — tolerance is bf16-level, matching the production path
+    # where the pooled features themselves are bf16
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=3e-2)
+    assert np.abs(np.asarray(gp) - np.asarray(gx)).mean() < 3e-3

@@ -115,18 +115,24 @@ def _kernel(rois_ref, feat_ref, out_ref, row_buf, sem, *,
     jax.lax.fori_loop(0, p, row_body, 0)
 
 
-def _kernel_vmem(rois_ref, feat_ref, out_ref, feat_vmem, sem, *,
+def _kernel_vmem(rois_ref, feat_ref, out_ref, feat_vmem, r_vmem, sem, *,
                  output_size: int, spatial_scale: float, sampling_ratio: int,
                  height: int, width: int, padded_width: int):
     """VMEM-resident variant: the whole [H, Wp, C] feature map of image b is
     DMA'd into a persistent VMEM scratch once (at the image's first ROI) and
-    every bilinear row read is then a VMEM load — profiling showed the
-    row-DMA variant spends ~5.6 GB of HBM traffic per 512 ROIs re-fetching
-    full-width rows, leaving the kernel DMA-bound at ~11 ms/image."""
+    every bilinear row read is then a VMEM load.
+
+    The per-(row, y-sample) small matmuls of the DMA variant dominate its
+    runtime (28 dependent [P*s, Wp]x[Wp, C] MXU ops per ROI measured ~21 ms
+    per 2x512 ROIs); here the y-interpolated+summed rows of every output row
+    are staged side-by-side in a [Wp, P*C] scratch and the whole ROI reduces
+    to ONE [P, Wp] x [Wp, P*C] matmul, with both the s-sample sums and the
+    1/s^2 bin average folded into the x-weight matrix."""
     p = output_size
     s = sampling_ratio
     b = pl.program_id(0)
     n = pl.program_id(1)
+    c = out_ref.shape[-1]
 
     @pl.when(n == 0)
     def _load_image():
@@ -157,11 +163,14 @@ def _kernel_vmem(rois_ref, feat_ref, out_ref, feat_vmem, sem, *,
     wx = jnp.where(cols == x0b, (1.0 - lx)[:, None], 0.0)
     wx = wx + jnp.where(cols == x1b, lx[:, None], 0.0)
     wx = jnp.where(x_oob[:, None], 0.0, wx)
+    # fold x-sample-pair summation and the 1/s^2 average into the weights
+    wx_bins = wx.reshape(p, s, padded_width).sum(axis=1) / (s * s)  # [P, Wp]
 
-    def row_body(ph, _):
-        acc = jnp.zeros((p * s, out_ref.shape[-1]), jnp.float32)
-
-        def sample_body(iy, acc):
+    # static unroll over output rows: lets Mosaic pipeline the row loads and
+    # keeps every R-scratch slice static
+    for ph in range(p):
+        acc = jnp.zeros((padded_width, c), jnp.float32)
+        for iy in range(s):
             y = y1 + (ph + (iy + 0.5) / s) * bin_h
             y_oob = (y < -1.0) | (y > height)
             yc = jnp.clip(y, 0.0, height - 1)
@@ -174,25 +183,27 @@ def _kernel_vmem(rois_ref, feat_ref, out_ref, feat_vmem, sem, *,
             bot = feat_vmem[y0i + 1].astype(jnp.float32)
             ly = jnp.where(y0.astype(jnp.int32) > y0i, 1.0, ly)
             row = top * (1.0 - ly) + bot * ly  # [Wp, C]
-            row = jnp.where(y_oob, 0.0, row)
-            samples = jax.lax.dot_general(
-                wx, row, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            return acc + samples
+            # y-interpolated rows summed over the s sub-samples (linear in wx)
+            acc = acc + jnp.where(y_oob, 0.0, row)
+        r_vmem[:, ph * c:(ph + 1) * c] = acc.astype(r_vmem.dtype)
 
-        acc = jax.lax.fori_loop(0, s, sample_body, acc)
-        acc = acc.reshape(p, s, -1).sum(axis=1) / (s * s)
-        out_ref[0, 0, ph] = acc
-        return 0
+    highest = r_vmem.dtype == jnp.float32
+    out_all = jax.lax.dot_general(
+        wx_bins if highest else wx_bins.astype(r_vmem.dtype),
+        r_vmem[...],
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST if highest else None,
+        preferred_element_type=jnp.float32,
+    )  # [P(rows=pw bins), P*C]
 
-    jax.lax.fori_loop(0, p, row_body, 0)
+    for ph in range(p):
+        out_ref[0, 0, ph] = out_all[:, ph * c:(ph + 1) * c]
 
 
-# VMEM working-set budget for keeping a whole feature map resident (the chip
-# has ~16 MiB; leave room for the double-buffered output blocks + weights)
-_VMEM_FEATURE_BUDGET_BYTES = 12 * 1024 * 1024
+# VMEM working-set budget for keeping a whole feature map + staged-row
+# scratch resident (the chip has ~16 MiB; leave room for the double-buffered
+# output blocks + the [P, P*C] matmul result)
+_VMEM_FEATURE_BUDGET_BYTES = 13 * 1024 * 1024
 
 
 @functools.partial(
@@ -215,13 +226,15 @@ def _forward(features, rois, output_size, spatial_scale, sampling_ratio):
     n = rois.shape[1]
     p = output_size
     feat_bytes = h * wp * c * features.dtype.itemsize
-    if feat_bytes <= _VMEM_FEATURE_BUDGET_BYTES:
+    r_bytes = wp * p * c * features.dtype.itemsize
+    if feat_bytes + r_bytes <= _VMEM_FEATURE_BUDGET_BYTES:
         kernel = functools.partial(
             _kernel_vmem, output_size=p, spatial_scale=spatial_scale,
             sampling_ratio=sampling_ratio, height=h, width=w, padded_width=wp,
         )
         scratch = [
             pltpu.VMEM((h, wp, c), features.dtype),
+            pltpu.VMEM((wp, p * c), features.dtype),  # staged y-interp rows
             pltpu.SemaphoreType.DMA,
         ]
         feat_arg = features
