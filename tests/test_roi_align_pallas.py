@@ -103,7 +103,10 @@ def test_bwd_split_accumulator_matches(monkeypatch):
 
     # shrink the budget so the 16-wide map needs 2 width slices
     monkeypatch.setattr(bwd_mod, "_VMEM_ACC_BUDGET_BYTES", 10 * 8 * 8 * 4)
-    assert bwd_mod._pick_splits(10, 16, 8) == 2
+    assert bwd_mod._pick_splits(10, 16, 8) == (2, 16)
+    # non-divisible padded widths must pad up, not fall back (regression:
+    # wp=88 knocked the whole bench shape onto the HBM-RMW fallback)
+    assert bwd_mod._pick_splits(10, 24, 8) == (4, 32)
 
     rng = np.random.RandomState(5)
     feats = jnp.asarray(rng.rand(2, 10, 16, 8).astype(np.float32))

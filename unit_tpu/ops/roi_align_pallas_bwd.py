@@ -111,7 +111,8 @@ def _bwd_kernel(rois_ref, g_ref, dfeat_in_ref, dfeat_ref, rows_buf, add_buf, sem
 def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
                      output_size: int, spatial_scale: float,
                      sampling_ratio: int, height: int, width: int,
-                     half_width: int, num_rois: int):
+                     half_width: int, num_rois: int,
+                     stochastic: bool = False):
     """VMEM-accumulator variant: the feature gradient is accumulated in a
     persistent [H, Wh, C] f32 VMEM scratch (one width-slice of the map at a
     time, grid=(B, splits, N)) and written to HBM once per (image, slice) —
@@ -123,6 +124,10 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
     hsplit = pl.program_id(1)
     n = pl.program_id(2)
     hoff = hsplit * half_width
+    if stochastic:
+        # per-program seed: stochastic rounding of the bf16 accumulator needs
+        # independent bits per (image, slice, roi)
+        pltpu.prng_seed(n + num_rois * (hsplit + pl.num_programs(1) * b))
 
     @pl.when(n == 0)
     def _zero_acc():
@@ -161,13 +166,13 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
     g_all = jnp.concatenate(
         [g_ref[0, 0, ph].astype(jnp.float32) for ph in range(p)], axis=-1
     )
-    # staged in bf16: halves the value's VMEM footprint so the k=2 width
-    # split fits; contributions re-expand to f32 before accumulating
+    # bf16 staging only in stochastic mode (halves the value's VMEM
+    # footprint); the f32 mode keeps the gradient path exact
     d_all = jax.lax.dot_general(
         wx_bins, g_all, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16)  # [Wh, P*C]
+    ).astype(jnp.bfloat16 if stochastic else jnp.float32)  # [Wh, P*C]
 
     for ph in range(p):
         d_row = d_all[:, ph * c:(ph + 1) * c].astype(jnp.float32)  # [Wh, C]
@@ -182,11 +187,21 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
             ly = jnp.where(y0.astype(jnp.int32) > y0i, 1.0, ly)
 
             d_masked = jnp.where(y_oob, 0.0, d_row)
-            # ONE dynamic read-modify-write for both touched rows: the
-            # per-access overhead of dynamic VMEM addressing dominates this
-            # kernel (measured ~36 ms at 2 RMWs per (row, sample))
+            # ONE dynamic read-modify-write for both touched rows: this
+            # kernel is VMEM-bandwidth-bound on the accumulator RMW traffic
+            # (~45 GB per 1024 ROIs with an f32 accumulator)
             upd = jnp.stack([d_masked * (1.0 - ly), d_masked * ly])
-            acc_ref[pl.ds(y0i, 2)] = acc_ref[pl.ds(y0i, 2)] + upd
+            new = acc_ref[pl.ds(y0i, 2)].astype(jnp.float32) + upd
+            if stochastic:
+                # bf16 accumulator + stochastic rounding: halves the RMW
+                # traffic; SR keeps the ~30-100-contribution sums unbiased
+                bits = jax.lax.bitcast_convert_type(
+                    pltpu.prng_random_bits(new.shape), jnp.uint32
+                )
+                new = pltpu.stochastic_round(
+                    new, bits, target_dtype=jnp.bfloat16
+                )
+            acc_ref[pl.ds(y0i, 2)] = new.astype(acc_ref.dtype)
 
     @pl.when(n == num_rois - 1)
     def _flush():
@@ -197,19 +212,23 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
         wr.wait()
 
 
-# budget for the f32 VMEM gradient accumulator slice (chip VMEM ~16 MiB,
-# leave room for the double-buffered incoming-gradient blocks)
-_VMEM_ACC_BUDGET_BYTES = 10 * 1024 * 1024
+# budget for the VMEM gradient accumulator slice (chip VMEM ~16 MiB, leave
+# room for the double-buffered incoming-gradient blocks + staged matmuls)
+_VMEM_ACC_BUDGET_BYTES = 6 * 1024 * 1024
 
 
-def _pick_splits(h: int, wp: int, c: int) -> int:
+def _pick_splits(h: int, wp: int, c: int, itemsize: int = 4):
+    """(num_splits, padded_total_width) — wp is padded UP so every slice is
+    sublane-aligned; requiring exact divisibility silently knocked common
+    widths (e.g. 88 = 84 padded to 8) onto the slow HBM-RMW fallback."""
     for k in (1, 2, 4, 8, 16):
-        if wp % (k * 8) == 0 and h * (wp // k) * c * 4 <= _VMEM_ACC_BUDGET_BYTES:
-            return k
-    return 0  # no feasible slice -> HBM read-modify-write fallback
+        wp_eff = ((wp + k * 8 - 1) // (k * 8)) * (k * 8)
+        if h * (wp_eff // k) * c * itemsize <= _VMEM_ACC_BUDGET_BYTES:
+            return k, wp_eff
+    return 0, wp  # no feasible slice -> HBM read-modify-write fallback
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def roi_align_backward_pallas_batched(
     g: jnp.ndarray,        # [B, N, P, P, C] output gradient
     rois: jnp.ndarray,     # [B, N, 4]
@@ -217,18 +236,25 @@ def roi_align_backward_pallas_batched(
     spatial_scale: float,
     sampling_ratio: int,
     feature_shape=None,    # (B, H, W, C)
+    stochastic_bf16: bool = False,
 ) -> jnp.ndarray:
+    """stochastic_bf16: accumulate in bf16 with stochastic rounding (for the
+    bf16 production pipeline, where the gradient leaves this op as bf16
+    anyway) — halves the VMEM RMW traffic this kernel is bound on."""
     bsz, h, w, c = feature_shape
     wp = ((w + 7) // 8) * 8
     n = rois.shape[1]
     p = output_size
-    splits = _pick_splits(h, wp, c)
+    acc_dtype = jnp.bfloat16 if stochastic_bf16 else jnp.float32
+    itemsize = 2 if stochastic_bf16 else 4
+    splits, wp_eff = _pick_splits(h, wp, c, itemsize)
     if splits:
+        wp = wp_eff
         half_width = wp // splits
         kernel = functools.partial(
             _bwd_kernel_vmem, output_size=p, spatial_scale=spatial_scale,
             sampling_ratio=sampling_ratio, height=h, width=w,
-            half_width=half_width, num_rois=n,
+            half_width=half_width, num_rois=n, stochastic=stochastic_bf16,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -242,14 +268,14 @@ def roi_align_backward_pallas_batched(
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
-                pltpu.VMEM((h, half_width, c), jnp.float32),
+                pltpu.VMEM((h, half_width, c), acc_dtype),
                 pltpu.SemaphoreType.DMA,
             ],
         )
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((bsz, h, wp, c), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((bsz, h, wp, c), acc_dtype),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(rois, g.astype(jnp.float32))
         return out[:, :, :w]
