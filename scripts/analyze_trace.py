@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Summarize a jax.profiler trace: total device time + top ops by duration.
+
+    python scripts/analyze_trace.py /tmp/step_trace [--top 40]
+
+Reads the newest plugins/profile/*/\\*.trace.json.gz under the given logdir and
+sums event durations on the TPU device lanes.
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("logdir")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    pattern = os.path.join(args.logdir, "plugins", "profile", "*", "*.trace.json.gz")
+    paths = sorted(glob.glob(pattern))
+    if not paths:
+        raise SystemExit(f"no trace found under {pattern}")
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    events = data["traceEvents"]
+    pids = {
+        e["pid"]: e["args"]["name"]
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    tpu_pids = {p for p, n in pids.items() if "TPU" in n}
+    total_ms = collections.Counter()
+    count = collections.Counter()
+    grand = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e["pid"] in tpu_pids:
+            ms = e.get("dur", 0) / 1e3
+            total_ms[e["name"]] += ms
+            count[e["name"]] += 1
+            grand += ms
+    print(f"total device time: {grand:.1f} ms over {sum(count.values())} events"
+          f" ({paths[-1]})")
+    for name, ms in total_ms.most_common(args.top):
+        print(f"{ms:9.2f} ms  x{count[name]:<5} {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
