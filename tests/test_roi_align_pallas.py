@@ -126,8 +126,26 @@ def test_bwd_split_accumulator_matches(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         gp = jax.grad(loss_p)(feats)
     gx = jax.grad(loss_x)(feats)
-    # the split kernel stages per-ROI row gradients in bf16 (accumulation
-    # stays f32) — tolerance is bf16-level, matching the production path
-    # where the pooled features themselves are bf16
-    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=3e-2)
-    assert np.abs(np.asarray(gp) - np.asarray(gx)).mean() < 3e-3
+    # default (non-stochastic) mode stages and accumulates in f32 -> exact
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-4)
+
+
+def test_fwd_dma_fallback_matches(monkeypatch):
+    """Oversized-map row-DMA forward path == XLA (forced via tiny budget)."""
+    from unit_tpu.ops import roi_align_pallas as fwd_mod
+
+    monkeypatch.setattr(fwd_mod, "_VMEM_FEATURE_BUDGET_BYTES", 1)
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.rand(2, 10, 16, 8).astype(np.float32))
+    rois = jnp.asarray(
+        np.stack([
+            np.array([[8.0, 8.0, 100.0, 80.0], [0.0, 0.0, 60.0, 60.0]]),
+            np.array([[16.0, 24.0, 120.0, 120.0], [40.0, 8.0, 90.0, 110.0]]),
+        ]).astype(np.float32)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = fwd_mod.roi_align_pallas_batched(feats, rois, 4, 1.0 / 16.0, 2)
+    ref = jnp.stack([
+        roi_align_xla(feats[b], rois[b], 4, 1.0 / 16.0, 2) for b in range(2)
+    ])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
