@@ -89,13 +89,15 @@ class VisualAttentionHead(nn.Module):
         (MeanSimilarity/MahalanobisSimilarity.forward)."""
         c, k = support_feats.shape[:2]
 
-        def pool_one(feats, box):
-            return roi_align_ops.roi_align(
-                feats, box[None], self.pooler_resolution, self.pooler_scale,
-                self.sampling_ratio,
-            )[0]
-
-        pooled = jax.vmap(jax.vmap(pool_one))(support_feats, support_boxes)
+        # one batched kernel over all C*K shots (nested vmap of a pallas_call
+        # lowers to sequential per-shot while loops on TPU)
+        pooled = roi_align_ops.roi_align_batched(
+            support_feats.reshape((c * k,) + support_feats.shape[2:]),
+            support_boxes.reshape(c * k, 1, 4),
+            self.pooler_resolution, self.pooler_scale, self.sampling_ratio,
+            impl="auto",
+        ).reshape((c, k) + (self.pooler_resolution, self.pooler_resolution)
+                  + support_feats.shape[-1:])
         d_feats = self.meta_box_head(
             pooled.reshape((-1,) + pooled.shape[2:])
         ).astype(jnp.float32)
