@@ -113,8 +113,16 @@ def is_frozen(path: str, cfg, extra_frozen: Iterable[str] = ()) -> bool:
         frag = alias.get(name, name)
         if frag and seg_match(frag):
             return True
+    bounded = "/" + path + "/"
     for frag in extra_frozen:
-        if frag and (frag in path if "/" in frag else seg_match(frag)):
+        if not frag:
+            continue
+        if "/" in frag:
+            # segment-boundary containment: 'box_head/' must not also catch
+            # 'weak_box_head/...'
+            if "/" + frag.strip("/") + "/" in bounded:
+                return True
+        elif seg_match(frag):
             return True
     return False
 
