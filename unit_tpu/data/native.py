@@ -2,7 +2,9 @@
 
 Provides a GIL-free threaded JPEG-decode + resize + canvas-fill path used by the
 host loaders when the shared library is available (built by ``make -C native``);
-falls back to the pure-Python PIL path otherwise.
+falls back to the pure-Python PIL path otherwise.  This replaces the torch
+DataLoader worker processes the reference relies on (DATALOADER.NUM_WORKERS,
+/root/reference/data/build.py loaders; SURVEY.md §2.6).
 """
 
 from __future__ import annotations

@@ -1,7 +1,10 @@
 """Pallas TPU kernel for ROIAlignV2 forward (batch-native).
 
-The hot op of the C4 detector (SURVEY.md §2.6): pooling 512-1000 ROIs x 14x14
-bins from [B, H, W, C>=1024] feature maps.  Kernel design:
+The hot op of the C4 detector (SURVEY.md §2.6): the TPU-native equivalent of
+the detectron2 CUDA ROIAlignV2 op the reference requests by name
+(/root/reference/configs/VOC/VOC-RCNN-101-C4-split1.yaml:24, pooled by
+d2 ROIPooler at modeling/roi_heads/roi_heads.py:69-82) — pooling 512-1000
+ROIs x 14x14 bins from [B, H, W, C>=1024] feature maps.  Kernel design:
 
   * grid = (B, N) — one program per (image, ROI).  Batch lives IN the grid:
     wrapping the single-image kernel in ``jax.vmap`` lowers to a sequential

@@ -1,5 +1,6 @@
 """Pallas TPU kernel for the ROIAlign backward pass (d(out)/d(features)),
-batch-native.
+batch-native — the TPU equivalent of the CUDA ROIAlignV2 backward the
+reference gets from detectron2 (SURVEY.md §2.6 native-dependency table).
 
 The forward kernel (roi_align_pallas.py) made the XLA scatter-add backward the
 dominant ROI cost in the train step; this kernel mirrors the forward's design:
