@@ -97,3 +97,34 @@ def test_inference_on_dataset_keeps_prefed_gt():
                                                "bbox": [10, 10, 50, 50]}]})
     res = inference_on_dataset(predict, iter(batches), ev, total_images=3)
     assert res["bbox"]["AP50"] == 100.0
+
+
+def test_inference_on_dataset_mask_passthrough():
+    """Detections.masks reach a segm evaluator through the eval driver."""
+    from unit_tpu.evaluation.coco_eval import COCOEvaluator
+    from unit_tpu.evaluation.evaluator import inference_on_dataset
+
+    class Det:
+        def __init__(s, b, sc, c, v, m):
+            s.boxes, s.scores, s.classes, s.valid, s.masks = b, sc, c, v, m
+
+    def predict(imgs, sizes):
+        b = imgs.shape[0]
+        return Det(np.tile([[10.0, 10, 50, 50]], (b, 1, 1)),
+                   np.full((b, 1), 0.9), np.zeros((b, 1), int),
+                   np.ones((b, 1), bool),
+                   np.ones((b, 1, 28, 28), np.float32))
+
+    batches = [
+        {"image": np.zeros((1, 8, 8, 3)), "image_size": np.asarray([[8.0, 8.0]]),
+         "image_id": ["i0"], "scale": [1.0], "orig_size": [(100, 100)]}
+    ]
+    ev = COCOEvaluator(["a"], iou_type="segm")
+    gm = np.zeros((100, 100), bool)
+    gm[10:50, 10:50] = True
+    ev.process_gt_record({"image_id": "i0", "height": 100, "width": 100,
+                          "annotations": [{"category_id": 0,
+                                           "bbox": [10, 10, 50, 50],
+                                           "mask": gm}]})
+    res = inference_on_dataset(predict, iter(batches), ev, total_images=1)
+    assert res["segm"]["AP50"] == 100.0
