@@ -85,6 +85,42 @@ class Checkpointer:
         return True
 
 
+def merge_params_from_orbax(params, path: str):
+    """Warm-start ``params`` from an orbax checkpoint directory (e.g. the
+    ``best/model`` snapshot a base-training run wrote) — the analogue of the
+    reference's fine-tune init from ``best_model_final_weights.pth``
+    (configs/VOC/FT/10_shot/...-ft.yaml:3), tolerant of missing/new keys the
+    way d2's DetectionCheckpointer is: leaves whose path+shape match are
+    copied, everything else (e.g. zero-init ``*_ft`` residuals) keeps its
+    fresh initialization.  Returns (params, n_loaded, skipped_paths)."""
+    assert _HAS_ORBAX
+    restored = ocp.StandardCheckpointer().restore(path)
+    src = restored.get("params", restored) if isinstance(restored, dict) else restored
+    params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
+    loaded = 0
+    skipped = []
+
+    def merge(dst, s, prefix=""):
+        nonlocal loaded
+        for k, v in s.items():
+            key = f"{prefix}/{k}" if prefix else k
+            if k not in dst:
+                skipped.append(key)
+                continue
+            if isinstance(v, dict):
+                merge(dst[k], v, key)
+            else:
+                v = np.asarray(v)
+                if np.shape(dst[k]) == v.shape:
+                    dst[k] = v.astype(np.asarray(dst[k]).dtype)
+                    loaded += 1
+                else:
+                    skipped.append(f"{key} (shape {v.shape} vs {np.shape(dst[k])})")
+
+    merge(params, src)
+    return params, loaded, skipped
+
+
 class PeriodicCheckpointerWithEval:
     """Training hook fusing periodic checkpoints with eval-gated best-model saves
     (the reference's fused EvalHook+PeriodicCheckpointer)."""
@@ -116,6 +152,13 @@ class PeriodicCheckpointerWithEval:
             results = self.eval_fn(trainer.state)
             self.last_eval_results = results
             ap50 = results.get("bbox", {}).get("AP50", None)
+            if ap50 is None:
+                # multi-dataset shape {dataset: {"bbox": {...}}}: track the first
+                # dataset's AP50 (the reference evaluates a single TEST set).
+                for sub in results.values():
+                    if isinstance(sub, dict) and "bbox" in sub:
+                        ap50 = sub["bbox"].get("AP50", None)
+                        break
             if ap50 is not None:
                 self.ckpt.maybe_save_best(step, ap50, jax.device_get(trainer.state))
 

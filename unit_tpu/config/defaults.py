@@ -291,6 +291,15 @@ def get_cfg() -> CN:
     _C.TPU.REMAT_BACKBONE = False        # jax.checkpoint the backbone
     _C.TPU.DEBUG_NANS = False            # jax_debug_nans (device-side NaN traps)
 
+    # ------------------------------------------------------------- ENGINE (new)
+    # The reference selects trainer classes by editing the entry script
+    # (scripts import TrainerNoMeta / TrainerFineTune directly); here any
+    # trainer is selectable from config/CLI, e.g.
+    # ``ENGINE.TRAINER TrainerOnlyWeakFineTune``.  Empty = auto heuristic
+    # (runner.trainer_class_for).
+    _C.ENGINE = CN()
+    _C.ENGINE.TRAINER = ""
+
     return _C
 
 

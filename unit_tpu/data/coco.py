@@ -154,11 +154,21 @@ def load_coco_json(
 class RegisterCOCO:
     """Registers the COCO few-shot family (register_coco.py equivalents):
 
-      coco_base_training_query_train — train2017, base-class boxes only
-      coco_base_training_query_val   — val2017, all classes
+      coco_base_training_query_train — train split, base-class boxes only
+      coco_base_training_query_val   — val split, all classes
       coco_fine_tuning_query_train   — seeded k-shot over all classes
       coco_train_2014 / coco_train_2017 — classifier (image-level) datasets
+
+    Subclasses :class:`RegisterCOCONote` / :class:`RegisterCOCODock` register
+    the same family under the ``coco_note_*`` / ``coco_dock_*`` prefixes of the
+    reference's dedicated dataset suites (data/datasets/coco_note/ over
+    COCO2017 for the InceptionResNetV2 experiments, coco_dock/ over COCO2014
+    with precomputed MCG proposals for VGG-CNN-F).
     """
+
+    prefix = "coco"
+    train_split = "train2017"
+    val_split = "val2017"
 
     def __init__(self, cfg, root: str | None = None):
         self.cfg = cfg
@@ -183,27 +193,32 @@ class RegisterCOCO:
         )
 
     def register_all(self):
+        p = self.prefix
+
         def base_train():
-            ann, img = self._paths("train2017")
+            ann, img = self._paths(self.train_split)
             return load_coco_json(ann, img, self.base_ids, self.with_masks)
 
         def val():
-            ann, img = self._paths("val2017")
+            ann, img = self._paths(self.val_split)
             return load_coco_json(ann, img, None, self.with_masks)
 
         def ft_train():
             from .voc import kshot_sample
 
-            ann, img = self._paths("train2017")
+            ann, img = self._paths(self.train_split)
             recs = load_coco_json(ann, img, self.all_ids, self.with_masks)
             return kshot_sample(recs, self.shots, self.all_ids, self.seed)
 
-        def classifier():
-            ann, img = self._paths("train2017")
-            return load_coco_json(ann, img, None, False)
+        def classifier(split):
+            def load():
+                ann, img = self._paths(split)
+                return load_coco_json(ann, img, None, False)
+
+            return load
 
         def support():
-            ann, img = self._paths("train2017")
+            ann, img = self._paths(self.train_split)
             recs = load_coco_json(ann, img, self.base_ids, False)
             by_class = {c: [] for c in self.base_ids}
             for rec in recs:
@@ -213,12 +228,31 @@ class RegisterCOCO:
             return by_class
 
         DatasetCatalog.register(
-            "coco_base_training_support", support,
-            overwrite="coco_base_training_support" in DatasetCatalog,
+            f"{p}_base_training_support", support,
+            overwrite=f"{p}_base_training_support" in DatasetCatalog,
         )
-        self._register("coco_base_training_query_train", base_train)
-        self._register("coco_base_training_query_val", val)
-        self._register("coco_fine_tuning_query_train", ft_train)
-        self._register("coco_fine_tuning_query_val", val)
-        self._register("coco_train_2014", classifier)
-        self._register("coco_train_2017", classifier)
+        self._register(f"{p}_base_training_query_train", base_train)
+        self._register(f"{p}_base_training_query_val", val)
+        self._register(f"{p}_fine_tuning_query_train", ft_train)
+        self._register(f"{p}_fine_tuning_query_val", val)
+        # image-level classifier datasets: per-year, shared across suites
+        self._register("coco_train_2014", classifier("train2014"))
+        self._register("coco_train_2017", classifier("train2017"))
+
+
+class RegisterCOCONote(RegisterCOCO):
+    """``coco_note_*`` suite over COCO2017 (ref data/datasets/coco_note/
+    base_training.py:55-97, fine_tuning.py:71-105)."""
+
+    prefix = "coco_note"
+    train_split = "train2017"
+    val_split = "val2017"
+
+
+class RegisterCOCODock(RegisterCOCO):
+    """``coco_dock_*`` suite over COCO2014 with MCG proposals loaded via
+    DATASETS.PROPOSAL_FILES_* (ref data/datasets/coco_dock/base_training.py)."""
+
+    prefix = "coco_dock"
+    train_split = "train2014"
+    val_split = "val2014"

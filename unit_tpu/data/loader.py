@@ -186,6 +186,27 @@ def build_classifier_loader(cfg, seed=1, image_loader=None, batch_size=None) -> 
     )
 
 
+def build_classifier_strong_loader(cfg, seed=0, image_loader=None,
+                                   batch_size=None) -> StreamLoader:
+    """Classifier datasets served as a BOXED supervised stream — the
+    ``TrainerOnlyWeakFineTune`` path (ref engine/defaults.py:402-425), where
+    ``classifier_data`` (image-level sampled but carrying its box annotations)
+    is fed to the model as the supervised batch."""
+    names = cfg.DATASETS.CLASSIFIER_TRAIN
+    if isinstance(names, str):
+        names = (names,)
+    records = list(itertools.chain.from_iterable(DatasetCatalog.get(n) for n in names))
+    records = sample_classifier_dataset(cfg, records)
+    records = [r for r in records if r.get("annotations")]
+    records = _host_shard(records)
+    keys = _STRONG_KEYS + (("gt_masks",) if cfg.MODEL.MASK_ON else ())
+    return StreamLoader(
+        records, TransformConfig.train_from_cfg(cfg),
+        batch_size or cfg.SOLVER.IMS_PER_BATCH, keys, seed=seed,
+        image_loader=image_loader,
+    )
+
+
 def build_test_loader(cfg, dataset_name: str, image_loader=None, batch_size=1):
     """Finite iterator over a test dataset; yields per-batch dicts plus metadata
     (image_id, scale, orig_size) for the evaluator."""

@@ -17,10 +17,18 @@ def register_datasets(cfg, devkit_root: str | None = None):
         from .voc import RegisterVOC
 
         RegisterVOC(cfg, devkit_root).register_all()
-    elif ds_type in ("COCO", "COCO_NOTE", "COCO_DOCK"):
+    elif ds_type == "COCO":
         from .coco import RegisterCOCO
 
         RegisterCOCO(cfg, devkit_root).register_all()
+    elif ds_type == "COCO_NOTE":
+        from .coco import RegisterCOCONote
+
+        RegisterCOCONote(cfg, devkit_root).register_all()
+    elif ds_type == "COCO_DOCK":
+        from .coco import RegisterCOCODock
+
+        RegisterCOCODock(cfg, devkit_root).register_all()
     else:
         raise ValueError(f"Unknown FEWSHOT.TYPE: {ds_type}")
 

@@ -42,6 +42,7 @@ from .train import (
     TrainerFineTune,
     TrainerNoMeta,
     TrainerOnlyWeak,
+    TrainerOnlyWeakFineTune,
     make_predict_fn,
 )
 
@@ -66,6 +67,12 @@ def default_argument_parser():
 
 
 def setup(args):
+    # UNIT_TPU_PLATFORM=cpu forces the CPU backend through the config API (the
+    # axon harness pins JAX_PLATFORMS in the env, so the env var alone is
+    # ignored — same workaround as tests/conftest.py).
+    plat = os.environ.get("UNIT_TPU_PLATFORM", "")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     cfg = get_cfg()
     if args.config_file:
         cfg.merge_from_file(args.config_file)
@@ -80,7 +87,21 @@ def setup(args):
     return cfg
 
 
+_TRAINERS = {
+    "Trainer": Trainer,
+    "TrainerNoMeta": TrainerNoMeta,
+    "TrainerFineTune": TrainerFineTune,
+    "TrainerOnlyWeak": TrainerOnlyWeak,
+    "TrainerOnlyWeakFineTune": TrainerOnlyWeakFineTune,
+}
+
+
 def trainer_class_for(cfg):
+    explicit = getattr(cfg, "ENGINE", None) and cfg.ENGINE.TRAINER
+    if explicit:
+        if explicit not in _TRAINERS:
+            raise KeyError(f"unknown ENGINE.TRAINER {explicit!r}; one of {sorted(_TRAINERS)}")
+        return _TRAINERS[explicit]
     name = cfg.MODEL.META_ARCHITECTURE
     if name == "WeakRCNN":
         return TrainerOnlyWeak
@@ -101,10 +122,16 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0):
     trainer_cls = trainer_class_for(cfg)
     strong_iter = None
     weak_iter = None
-    if not cfg.DATASETS.TRAIN:
-        raise ValueError("DATASETS.TRAIN is empty")
-    strong_iter = Prefetcher(iter(build_strong_loader(cfg, seed=seed)))
     meta_iter = None
+    if trainer_cls is TrainerOnlyWeakFineTune:
+        # classifier data fed as the boxed supervised batch (defaults.py:402-425)
+        from ..data.loader import build_classifier_strong_loader
+
+        strong_iter = Prefetcher(iter(build_classifier_strong_loader(cfg, seed=seed)))
+    else:
+        if not cfg.DATASETS.TRAIN:
+            raise ValueError("DATASETS.TRAIN is empty")
+        strong_iter = Prefetcher(iter(build_strong_loader(cfg, seed=seed)))
     if trainer_cls in (TrainerNoMeta, TrainerOnlyWeak, Trainer):
         weak_iter = Prefetcher(iter(build_classifier_loader(cfg, seed=seed + 1)))
     if trainer_cls is Trainer:
@@ -134,7 +161,15 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0):
 def load_initial_weights(cfg, params):
     """MODEL.WEIGHTS (.npz/.pkl/.pth) + GloVe embeddings into the param tree."""
     weights = cfg.MODEL.WEIGHTS
-    if weights and os.path.exists(weights):
+    if weights and os.path.isdir(weights):
+        # orbax snapshot from one of our own runs (e.g. <base_run>/best/model):
+        # the fine-tune warm start (ref FT yaml MODEL.WEIGHTS, d2-tolerant merge)
+        from ..checkpoint import merge_params_from_orbax
+
+        params, loaded, skipped = merge_params_from_orbax(params, weights)
+        logger.info("warm-started %d tensors from orbax %s (%d new/skipped)",
+                    loaded, weights, len(skipped))
+    elif weights and os.path.exists(weights):
         if weights.endswith(".npz"):
             sd = dict(np.load(weights))
         else:
@@ -180,7 +215,9 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
             )
 
     def eval_fn(state):
-        results = {}
+        # Accumulate per-dataset (ref engine/defaults.py:219-248); with a single
+        # test dataset return its metrics flat, matching d2's DefaultTrainer.test.
+        all_results = {}
         for name in cfg.DATASETS.TEST:
             evaluator = get_evaluator(cfg, name)
             for rec in DatasetCatalog.get(name):
@@ -200,13 +237,15 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
                         params, batch["image"], batch["image_size"], var_arrays
                     )
 
-                results = _run_tta_eval(predict_batch, loader, evaluator, n)
+                all_results[name] = _run_tta_eval(predict_batch, loader, evaluator, n)
             else:
                 loader, n = build_test_loader(cfg, name, image_loader=image_loader)
-                results = inference_on_dataset(
+                all_results[name] = inference_on_dataset(
                     lambda im, sz: predict(params, im, sz), loader, evaluator, n
                 )
-        return results
+        if len(all_results) == 1:
+            return next(iter(all_results.values()))
+        return all_results
 
     return eval_fn
 
@@ -226,6 +265,33 @@ def _run_tta_eval(predict_batch, loader, evaluator, total):
             np.asarray(det.classes)[0], np.asarray(det.valid)[0],
         )
     return evaluator.evaluate()
+
+
+class PreciseBNHook:
+    """Optional PreciseBN refresh before each periodic eval (ref
+    engine/defaults.py:304-311: d2 ``hooks.PreciseBN`` runs right before the
+    checkpointer so the refreshed stats are both evaluated and saved).
+    Recomputes FrozenBN mean/var over ``num_iter`` training batches and writes
+    them into the live train state."""
+
+    def __init__(self, model, cfg, loader_factory, eval_period: int, num_iter: int):
+        self.model = model
+        self.cfg = cfg
+        self.loader_factory = loader_factory
+        self.eval_period = eval_period
+        self.num_iter = num_iter
+
+    def __call__(self, step: int, metrics: dict, trainer):
+        if not self.eval_period or step % self.eval_period != 0:
+            return
+        from ..utils.precise_bn import precise_bn
+
+        params = precise_bn(
+            self.model, trainer.state.params, self.loader_factory(), self.num_iter
+        )
+        trainer.state = trainer.state.replace(params=jax.device_put(params))
+        logger.info("PreciseBN: refreshed FrozenBN statistics over %d batches",
+                    self.num_iter)
 
 
 def run(args):
@@ -251,6 +317,15 @@ def run(args):
 
     hooks = [
         MetricsHook(cfg.OUTPUT_DIR, period=20, max_iter=cfg.SOLVER.MAX_ITER),
+    ]
+    if cfg.TEST.PRECISE_BN.ENABLED:
+        hooks.append(PreciseBNHook(
+            model, cfg,
+            loader_factory=lambda: iter(build_strong_loader(cfg)),
+            eval_period=cfg.TEST.EVAL_PERIOD,
+            num_iter=cfg.TEST.PRECISE_BN.NUM_ITER,
+        ))
+    hooks += [
         PeriodicCheckpointerWithEval(
             ckpt, eval_fn, cfg.TEST.EVAL_PERIOD, cfg.SOLVER.CHECKPOINT_PERIOD,
             cfg.TEST.MIN_EVAL_PERIOD,

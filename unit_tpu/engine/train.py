@@ -53,12 +53,18 @@ def make_train_step(
     XLA inserts the gradient all-reduce (replaces DDP, engine/defaults.py:282-285).
     """
 
+    # train-mode dropout applies only to the VGG fc heads (torch .train()
+    # semantics); other head families get no dropout rng so their step HLO
+    # (and compile-cache entry) is unchanged
+    needs_dropout = "VGG" in model.mc.box_head_name
+
     def step_fn(state: TrainState, strong, weak, meta, rng):
         def loss_fn(params):
             losses = model.apply(
                 {"params": params}, rng, strong, weak,
                 train_only_weak=train_only_weak, meta=meta,
                 method=WSRCNN.train_losses,
+                rngs={"dropout": jax.random.fold_in(rng, 7)} if needs_dropout else None,
             )
             total = jnp.asarray(0.0)
             for v in losses.values():
@@ -212,7 +218,14 @@ class TrainerOnlyWeak(TrainerBase):
 
 
 class TrainerOnlyWeakFineTune(TrainerBase):
-    """Weak-only fine-tuning where the classifier stream supplies the (boxed)
-    supervised batch as well (defaults.py:402-425): build its strong_iter from
-    the classifier datasets; the step itself is the standard two-stream one."""
+    """Classifier-data-as-supervised-batch fine-tuning (defaults.py:402-425):
+    the reference calls ``model(classifier_data, weak_batched_inputs=None,
+    train_only_weak=False)`` — i.e. the (boxed) classifier stream IS the
+    supervised batch and there is no weak stream.  The runner supplies
+    ``strong_iter`` built from ``cfg.DATASETS.CLASSIFIER_TRAIN`` with the
+    seeded classifier sampling (see ``data.loader.build_classifier_strong_loader``)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["weak_iter"] = None
+        super().__init__(*args, **kwargs)
 

@@ -29,23 +29,33 @@ AREA_RNG = {
 MAX_DETS = (1, 10, 100)
 
 
-def _box_iou_matrix(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
-    """[D, G] IoU (COCO convention, no +1)."""
+def _box_iou_matrix(dets: np.ndarray, gts: np.ndarray,
+                    iscrowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """[D, G] IoU, vectorized (COCO convention, no +1).
+
+    Against a crowd GT the denominator is the DETECTION area only
+    (pycocotools ``maskUtils.iou`` iscrowd semantics: a det fully inside a
+    crowd region has IoU 1 with it regardless of the crowd's extent)."""
     d, g = len(dets), len(gts)
-    out = np.zeros((d, g))
-    for j in range(g):
-        gx1, gy1, gx2, gy2 = gts[j]
-        ga = max(gx2 - gx1, 0) * max(gy2 - gy1, 0)
-        for i in range(d):
-            x1 = max(dets[i, 0], gx1)
-            y1 = max(dets[i, 1], gy1)
-            x2 = min(dets[i, 2], gx2)
-            y2 = min(dets[i, 3], gy2)
-            inter = max(x2 - x1, 0) * max(y2 - y1, 0)
-            da = max(dets[i, 2] - dets[i, 0], 0) * max(dets[i, 3] - dets[i, 1], 0)
-            u = da + ga - inter
-            out[i, j] = inter / u if u > 0 else 0.0
-    return out
+    if d == 0 or g == 0:
+        return np.zeros((d, g))
+    dets = np.asarray(dets, np.float64)
+    gts = np.asarray(gts, np.float64)
+    iw = np.clip(
+        np.minimum(dets[:, None, 2], gts[None, :, 2])
+        - np.maximum(dets[:, None, 0], gts[None, :, 0]), 0, None)
+    ih = np.clip(
+        np.minimum(dets[:, None, 3], gts[None, :, 3])
+        - np.maximum(dets[:, None, 1], gts[None, :, 1]), 0, None)
+    inter = iw * ih
+    da = (np.clip(dets[:, 2] - dets[:, 0], 0, None)
+          * np.clip(dets[:, 3] - dets[:, 1], 0, None))
+    ga = (np.clip(gts[:, 2] - gts[:, 0], 0, None)
+          * np.clip(gts[:, 3] - gts[:, 1], 0, None))
+    union = da[:, None] + ga[None, :] - inter
+    if iscrowd is not None and np.any(iscrowd):
+        union = np.where(np.asarray(iscrowd, bool)[None, :], da[:, None], union)
+    return np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
 
 
 def _image_lists():
@@ -172,8 +182,11 @@ class COCOEvaluator:
         dts = sorted(self._dt[cls].get(img, []), key=lambda d: -d["score"])[: MAX_DETS[-1]]
         if not gts and not dts:
             return None
+        # closed interval [lo, hi] exactly as pycocotools (area==32**2 counts as
+        # both 'small' and 'medium' there)
         ignore_gt = np.asarray(
-            [g["iscrowd"] or not (area_rng[0] <= g["area"] < area_rng[1]) for g in gts],
+            [g["iscrowd"] or not (area_rng[0] <= g["area"] <= area_rng[1])
+             for g in gts],
             bool,
         )
         order_gt = np.argsort(ignore_gt, kind="stable")  # non-ignored first
@@ -184,6 +197,7 @@ class COCOEvaluator:
             iou = _box_iou_matrix(
                 np.asarray([d["bbox"] for d in dts]).reshape(-1, 4),
                 np.asarray([g["bbox"] for g in gts]).reshape(-1, 4),
+                iscrowd=np.asarray([g["iscrowd"] for g in gts], bool),
             )
         else:
             iou = np.stack([self._mask_iou(d, gts) for d in dts]) if dts and gts else (
@@ -218,7 +232,7 @@ class COCOEvaluator:
                 for d_ in dts
             ]
         )
-        out_of_rng = ~((a >= area_rng[0]) & (a < area_rng[1]))
+        out_of_rng = (a < area_rng[0]) | (a > area_rng[1])
         dt_ig = dt_ig | ((dt_m < 0) & out_of_rng[None, :])
         return {
             "scores": np.asarray([d_["score"] for d_ in dts]),
@@ -238,9 +252,11 @@ class COCOEvaluator:
 
         for ki in range(k):
             for ai, (_, rng) in enumerate(AREA_RNG.items()):
+                # deterministic image order: score ties concatenate in a fixed
+                # order exactly like pycocotools' sorted imgIds
                 evals = [
                     e
-                    for img in self._images
+                    for img in sorted(self._images, key=str)
                     if (e := self._evaluate_img(ki, img, rng)) is not None
                 ]
                 if not evals:
