@@ -239,7 +239,10 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
 
                 all_results[name] = _run_tta_eval(predict_batch, loader, evaluator, n)
             else:
-                loader, n = build_test_loader(cfg, name, image_loader=image_loader)
+                loader, n = build_test_loader(
+                    cfg, name, image_loader=image_loader,
+                    batch_size=int(getattr(cfg.TPU, "EVAL_BATCH_SIZE", 1)),
+                )
                 all_results[name] = inference_on_dataset(
                     lambda im, sz: predict(params, im, sz), loader, evaluator, n
                 )

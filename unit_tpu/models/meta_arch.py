@@ -760,21 +760,38 @@ class WSRCNN(nn.Module):
         )
         b, p = proposals.boxes.shape[:2]
 
+        # Variants sharing an image shape (i.e. each scale's noflip/flip pair)
+        # are stacked on the batch axis and run through backbone + ROI heads as
+        # ONE pass: at eval batch 1 a batch-2 conv pass costs nearly the same
+        # as batch-1 on the MXU, halving TTA wall-clock vs the reference's
+        # strictly per-variant loop (rcnn.py:136-185).  Grouping is static at
+        # trace time; per-variant semantics (flip mirroring, per-variant
+        # similarity matrices) are preserved by slicing group outputs.
+        groups: Dict[tuple, list] = {}
+        for vi, var in enumerate(variants):
+            groups.setdefault(tuple(var["image"].shape), []).append(vi)
+
         sum_probs = None
         sum_deltas = None
-        for vi, var in enumerate(variants):
-            scale = var["scale"]  # scalar python float: variant/canonical ratio
-            flip = bool(var["flip"])
-            boxes_v = proposals.boxes * scale
-            if flip:
-                w_img = var["image_size"][:, 1][:, None]  # true width per image
-                x1 = w_img - boxes_v[:, :, 2]
-                x2 = w_img - boxes_v[:, :, 0]
-                boxes_v = jnp.stack(
-                    [x1, boxes_v[:, :, 1], x2, boxes_v[:, :, 3]], axis=-1
-                )
-            feats_v = self.features(var["image"])
-            pooled = self.pooled_rois(feats_v, boxes_v)
+        n_rows = b * p
+        for idxs in groups.values():
+            g = len(idxs)
+            boxes_list = []
+            for i in idxs:
+                var = variants[i]
+                boxes_v = proposals.boxes * var["scale"]
+                if bool(var["flip"]):
+                    w_img = var["image_size"][:, 1][:, None]  # true width per image
+                    x1 = w_img - boxes_v[:, :, 2]
+                    x2 = w_img - boxes_v[:, :, 0]
+                    boxes_v = jnp.stack(
+                        [x1, boxes_v[:, :, 1], x2, boxes_v[:, :, 3]], axis=-1
+                    )
+                boxes_list.append(boxes_v)
+            imgs_g = jnp.concatenate([variants[i]["image"] for i in idxs], axis=0)
+            boxes_g = jnp.concatenate(boxes_list, axis=0)  # [g*B, P, 4]
+            feats_g = self.features(imgs_g)
+            pooled = self.pooled_rois(feats_g, boxes_g)  # [g*B*P, ...]
             box_feats = self.box_features(pooled, "box")
             sup = self.supervised(box_feats)
             if mc.multi_box_head:
@@ -786,27 +803,40 @@ class WSRCNN(nn.Module):
             delta_scores = sup["delta_scores"]
             proposal_deltas = sup["proposal_deltas"]
             if with_transfer and len(mc.novel_ids):
-                sims = self.inference_similarity(box_feats)
-                delta_scores = transfer_scores(
-                    delta_scores, sims["cls"], np.asarray(mc.base_ids),
-                    np.asarray(mc.novel_ids),
-                )
-                proposal_deltas = transfer_deltas(
-                    proposal_deltas, sims["bbox"], np.asarray(mc.base_ids),
-                    np.asarray(mc.novel_ids), mc.num_classes,
-                )
+                # similarity is per variant (the reference computes it from each
+                # variant's own proposals, roi_heads.py:519-526) — slice the
+                # group's rows back apart before building the matrices
+                ds_parts, pd_parts = [], []
+                for gi in range(g):
+                    sl = slice(gi * n_rows, (gi + 1) * n_rows)
+                    sims = self.inference_similarity(box_feats[sl])
+                    ds_parts.append(transfer_scores(
+                        delta_scores[sl], sims["cls"], np.asarray(mc.base_ids),
+                        np.asarray(mc.novel_ids),
+                    ))
+                    pd_parts.append(transfer_deltas(
+                        proposal_deltas[sl], sims["bbox"], np.asarray(mc.base_ids),
+                        np.asarray(mc.novel_ids), mc.num_classes,
+                    ))
+                delta_scores = jnp.concatenate(ds_parts, axis=0)
+                proposal_deltas = jnp.concatenate(pd_parts, axis=0)
             scores = combine_cls_logits(delta_scores, weak_scores)
             bbox = proposal_deltas + weak_box_deltas
             if mc.finetune:
                 scores = scores + sup["ft_scores"]
                 bbox = bbox + sup["ft_deltas"]
             probs = jax.nn.softmax(scores, axis=-1)
-            bbox4 = bbox.reshape(bbox.shape[0], -1, 4)
-            if flip:
-                bbox4 = bbox4.at[..., 0].multiply(-1.0)  # mirror dx back
-            bbox = bbox4.reshape(bbox.shape[0], -1)
-            sum_probs = probs if sum_probs is None else sum_probs + probs
-            sum_deltas = bbox if sum_deltas is None else sum_deltas + bbox
+            # mirror dx back for flipped variants (one sign per variant)
+            sign = np.asarray(
+                [-1.0 if bool(variants[i]["flip"]) else 1.0 for i in idxs],
+                np.float32,
+            )
+            bbox4 = bbox.reshape(g, n_rows, -1, 4)
+            bbox4 = bbox4.at[..., 0].multiply(sign[:, None, None])
+            probs_sum = probs.reshape(g, n_rows, -1).sum(axis=0)
+            deltas_sum = bbox4.reshape(g, n_rows, -1).sum(axis=0)
+            sum_probs = probs_sum if sum_probs is None else sum_probs + probs_sum
+            sum_deltas = deltas_sum if sum_deltas is None else sum_deltas + deltas_sum
 
         n_var = float(len(variants))
         probs = (sum_probs).reshape(b, p, -1)  # summed (not normalized), ref :163

@@ -39,18 +39,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _roi_coords(rois_ref, b, n, num_rois, spatial_scale):
+    """Read one ROI from the FLAT scalar-prefetch buffer.
+
+    The rois operand is prefetched into SMEM as 1-D [B*N*4]: a [B, N, 4]
+    layout gets its last dim padded to the 128-lane tile (a 32x blowup —
+    f32[4,512,4] would claim exactly the whole 1 MiB of SMEM, which is how the
+    320px/batch-4 shapes-VOC config overflowed SMEM)."""
+    base = (b * num_rois + n) * 4
+    x1 = rois_ref[base + 0] * spatial_scale - 0.5
+    y1 = rois_ref[base + 1] * spatial_scale - 0.5
+    x2 = rois_ref[base + 2] * spatial_scale - 0.5
+    y2 = rois_ref[base + 3] * spatial_scale - 0.5
+    return x1, y1, x2, y2
+
+
 def _kernel(rois_ref, feat_ref, out_ref, row_buf, sem, *,
             output_size: int, spatial_scale: float, sampling_ratio: int,
-            height: int, width: int, padded_width: int):
+            height: int, width: int, padded_width: int, num_rois: int):
     p = output_size
     s = sampling_ratio
     b = pl.program_id(0)
     n = pl.program_id(1)
 
-    x1 = rois_ref[b, n, 0] * spatial_scale - 0.5
-    y1 = rois_ref[b, n, 1] * spatial_scale - 0.5
-    x2 = rois_ref[b, n, 2] * spatial_scale - 0.5
-    y2 = rois_ref[b, n, 3] * spatial_scale - 0.5
+    x1, y1, x2, y2 = _roi_coords(rois_ref, b, n, num_rois, spatial_scale)
     bin_h = (y2 - y1) / p
     bin_w = (x2 - x1) / p
 
@@ -120,7 +132,7 @@ def _kernel(rois_ref, feat_ref, out_ref, row_buf, sem, *,
 
 def _kernel_vmem(rois_ref, feat_ref, out_ref, feat_vmem, r_vmem, sem, *,
                  output_size: int, spatial_scale: float, sampling_ratio: int,
-                 height: int, width: int, padded_width: int):
+                 height: int, width: int, padded_width: int, num_rois: int):
     """VMEM-resident variant: the whole [H, Wp, C] feature map of image b is
     DMA'd into a persistent VMEM scratch once (at the image's first ROI) and
     every bilinear row read is then a VMEM load.
@@ -143,10 +155,7 @@ def _kernel_vmem(rois_ref, feat_ref, out_ref, feat_vmem, r_vmem, sem, *,
         dma.start()
         dma.wait()
 
-    x1 = rois_ref[b, n, 0] * spatial_scale - 0.5
-    y1 = rois_ref[b, n, 1] * spatial_scale - 0.5
-    x2 = rois_ref[b, n, 2] * spatial_scale - 0.5
-    y2 = rois_ref[b, n, 3] * spatial_scale - 0.5
+    x1, y1, x2, y2 = _roi_coords(rois_ref, b, n, num_rois, spatial_scale)
     bin_h = (y2 - y1) / p
     bin_w = (x2 - x1) / p
 
@@ -234,6 +243,7 @@ def _forward(features, rois, output_size, spatial_scale, sampling_ratio):
         kernel = functools.partial(
             _kernel_vmem, output_size=p, spatial_scale=spatial_scale,
             sampling_ratio=sampling_ratio, height=h, width=w, padded_width=wp,
+            num_rois=n,
         )
         scratch = [
             pltpu.VMEM((h, wp, c), features.dtype),
@@ -247,6 +257,7 @@ def _forward(features, rois, output_size, spatial_scale, sampling_ratio):
         kernel = functools.partial(
             _kernel, output_size=p, spatial_scale=spatial_scale,
             sampling_ratio=sampling_ratio, height=h, width=w, padded_width=wp,
+            num_rois=n,
         )
         scratch = [
             pltpu.VMEM((2, wp, c), features.dtype),
@@ -271,7 +282,7 @@ def _forward(features, rois, output_size, spatial_scale, sampling_ratio):
         # incoming-gradient traffic, and removes an 822 MB f32->bf16 cast
         # between pooling and the (bf16) box heads
         out_shape=jax.ShapeDtypeStruct((bsz, n, p, p, c), features.dtype),
-    )(rois, feat_arg)
+    )(rois.reshape(-1), feat_arg)
     return out
 
 

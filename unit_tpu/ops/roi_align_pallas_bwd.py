@@ -29,19 +29,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .roi_align_pallas import _roi_coords
+
 
 def _bwd_kernel(rois_ref, g_ref, dfeat_in_ref, dfeat_ref, rows_buf, add_buf, sem,
                 *, output_size: int, spatial_scale: float, sampling_ratio: int,
-                height: int, width: int, padded_width: int):
+                height: int, width: int, padded_width: int, num_rois: int):
     p = output_size
     s = sampling_ratio
     b = pl.program_id(0)
     n = pl.program_id(1)
 
-    x1 = rois_ref[b, n, 0] * spatial_scale - 0.5
-    y1 = rois_ref[b, n, 1] * spatial_scale - 0.5
-    x2 = rois_ref[b, n, 2] * spatial_scale - 0.5
-    y2 = rois_ref[b, n, 3] * spatial_scale - 0.5
+    x1, y1, x2, y2 = _roi_coords(rois_ref, b, n, num_rois, spatial_scale)
     bin_h = (y2 - y1) / p
     bin_w = (x2 - x1) / p
 
@@ -134,10 +133,7 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
     def _zero_acc():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x1 = rois_ref[b, n, 0] * spatial_scale - 0.5
-    y1 = rois_ref[b, n, 1] * spatial_scale - 0.5
-    x2 = rois_ref[b, n, 2] * spatial_scale - 0.5
-    y2 = rois_ref[b, n, 3] * spatial_scale - 0.5
+    x1, y1, x2, y2 = _roi_coords(rois_ref, b, n, num_rois, spatial_scale)
     bin_h = (y2 - y1) / p
     bin_w = (x2 - x1) / p
 
@@ -278,12 +274,13 @@ def roi_align_backward_pallas_batched(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((bsz, h, wp, c), acc_dtype),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(rois, g.astype(jnp.float32))
+        )(rois.reshape(-1), g.astype(jnp.float32))
         return out[:, :, :w]
 
     kernel = functools.partial(
         _bwd_kernel, output_size=p, spatial_scale=spatial_scale,
         sampling_ratio=sampling_ratio, height=h, width=w, padded_width=wp,
+        num_rois=n,
     )
     zeros = jnp.zeros((bsz * h, wp, c), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -309,7 +306,7 @@ def roi_align_backward_pallas_batched(
         out_shape=jax.ShapeDtypeStruct((bsz * h, wp, c), jnp.float32),
         input_output_aliases={2: 0},  # zeros operand (after scalar prefetch)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(rois, g.astype(jnp.float32), zeros)
+    )(rois.reshape(-1), g.astype(jnp.float32), zeros)
     return out.reshape(bsz, h, wp, c)[:, :, :w]
 
 
