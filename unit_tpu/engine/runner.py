@@ -259,14 +259,16 @@ def _run_tta_eval(predict_batch, loader, evaluator, total):
 
     for batch in loader:
         det = predict_batch(batch)
-        boxes = np.asarray(det.boxes)[0] / batch["scale"][0]
+        # single batched host transfer (per-field fetches pay a device
+        # round-trip each — costly on remote-attached TPUs)
+        bx, sc, cl, va = jax.device_get(
+            (det.boxes, det.scores, det.classes, det.valid)
+        )
+        boxes = np.array(bx[0]) / batch["scale"][0]
         oh, ow = batch["orig_size"][0]
         boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, ow)
         boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, oh)
-        evaluator.process(
-            batch["image_id"][0], boxes, np.asarray(det.scores)[0],
-            np.asarray(det.classes)[0], np.asarray(det.valid)[0],
-        )
+        evaluator.process(batch["image_id"][0], boxes, sc[0], cl[0], va[0])
     return evaluator.evaluate()
 
 

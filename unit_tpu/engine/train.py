@@ -142,8 +142,23 @@ class TrainerBase:
         self.train_step = make_train_step(
             model, optimizer, train_only_weak=train_only_weak, mesh=mesh
         )
-        self.state: Optional[TrainState] = None
+        self._state: Optional[TrainState] = None
+        # host-side mirror of state.step: reading the device counter every step
+        # (int(state.step)) is a host round-trip — expensive on remote-attached
+        # TPUs where each fetch pays tunnel latency
+        self._host_step: Optional[int] = None
         self.metrics_history = []
+
+    @property
+    def state(self) -> Optional[TrainState]:
+        return self._state
+
+    @state.setter
+    def state(self, value):
+        # external assignment (checkpoint resume, warm start) may change step;
+        # re-sync the host mirror lazily on the next run_step
+        self._state = value
+        self._host_step = None
 
     def init_state(self, sample_shape=(1, 64, 64, 3)):
         init_rng, self.rng = jax.random.split(self.rng)
@@ -167,9 +182,14 @@ class TrainerBase:
             weak = mesh_lib.shard_batch(self.mesh, weak) if weak else None
             # the support stream is replicated, not batch-sharded
             meta = mesh_lib.replicate(self.mesh, meta) if meta else None
-        step_rng = jax.random.fold_in(self.rng, int(self.state.step))
-        self.state, metrics = self.train_step(self.state, strong, weak, meta, step_rng)
-        metrics = {k: float(v) for k, v in metrics.items()}
+        if self._host_step is None:
+            self._host_step = int(self.state.step)
+        step_rng = jax.random.fold_in(self.rng, self._host_step)
+        self._state, metrics = self.train_step(self.state, strong, weak, meta, step_rng)
+        self._host_step += 1
+        # ONE batched host transfer for the whole metric dict (per-scalar
+        # float() would pay one device round-trip per key)
+        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
         metrics["data_time"] = data_time
         # anomaly guard (the reference's _detect_anomaly NaN/Inf check,
         # engine/defaults.py:281): fail fast with the full loss dict
@@ -177,7 +197,7 @@ class TrainerBase:
             v == v and abs(v) != float("inf") for v in metrics.values()
         ):
             raise FloatingPointError(
-                f"non-finite loss at iter {int(self.state.step)}: {metrics}"
+                f"non-finite loss at iter {self._host_step}: {metrics}"
             )
         self.metrics_history.append(metrics)
         return metrics
@@ -187,7 +207,7 @@ class TrainerBase:
         for _ in range(max_iter):
             metrics = self.run_step()
             for hook in hooks:
-                hook(int(self.state.step), metrics, self)
+                hook(self._host_step, metrics, self)
         return self.state
 
 
