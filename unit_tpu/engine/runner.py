@@ -49,6 +49,39 @@ from .train import (
 logger = logging.getLogger("unit_tpu")
 
 
+def setup_logger(output_dir: Optional[str] = None, level: int = logging.INFO):
+    """Configure the "unit_tpu" logger for CLI runs (ref setup_logger,
+    scripts/train_VOC.py:36): stream to stdout + a log.txt in OUTPUT_DIR.
+
+    logging.basicConfig is NOT enough here: jax/absl install a root handler at
+    import time, which turns basicConfig into a silent no-op and leaves the
+    root level at WARNING — every INFO line (iteration logs, eval CSV results)
+    was being dropped in the shipped CLIs.
+    """
+    lg = logging.getLogger("unit_tpu")
+    lg.setLevel(level)
+    lg.propagate = False
+    fmt = logging.Formatter(
+        "[%(asctime)s unit_tpu]: %(message)s", datefmt="%m/%d %H:%M:%S"
+    )
+    if not any(
+        isinstance(h, logging.StreamHandler) and not isinstance(h, logging.FileHandler)
+        for h in lg.handlers
+    ):
+        import sys
+
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        lg.addHandler(sh)
+    if output_dir and not any(
+        isinstance(h, logging.FileHandler) for h in lg.handlers
+    ):
+        fh = logging.FileHandler(os.path.join(output_dir, "log.txt"))
+        fh.setFormatter(fmt)
+        lg.addHandler(fh)
+    return lg
+
+
 def default_argument_parser():
     parser = argparse.ArgumentParser(description="unit_tpu training")
     parser.add_argument("--config-file", default="", metavar="FILE")
@@ -80,7 +113,7 @@ def setup(args):
         cfg.merge_from_list(args.opts)
     cfg.freeze()
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
-    logging.basicConfig(level=logging.INFO)
+    setup_logger(cfg.OUTPUT_DIR)
     if cfg.TPU.DEBUG_NANS:
         jax.config.update("jax_debug_nans", True)
     register_datasets(cfg, args.data_root)
