@@ -12,7 +12,10 @@ RUNS=${2:-/root/runs}
 ITERS=${ITERS:-600}
 mkdir -p "$RUNS"
 
-COMMON_INPUT="INPUT.MIN_SIZE_TRAIN (320,) INPUT.MAX_SIZE_TRAIN 320 INPUT.MIN_SIZE_TEST 320 INPUT.MAX_SIZE_TEST 320"
+# EXTRA_OPTS: additional dotted config overrides for every stage, e.g.
+# EXTRA_OPTS="MODEL.BACKBONE.FREEZE_AT 0" for from-scratch runs (no MSRA
+# pickle in the image: a frozen random stem cripples learning).
+COMMON_INPUT="INPUT.MIN_SIZE_TRAIN (320,) INPUT.MAX_SIZE_TRAIN 320 INPUT.MIN_SIZE_TEST 320 INPUT.MAX_SIZE_TEST 320 ${EXTRA_OPTS:-}"
 
 echo "=== [1/3] base training ($ITERS iters) ==="
 python scripts/train_VOC.py \
