@@ -63,8 +63,6 @@ def inference_on_dataset(
                 "inference %d/%d (%.4f s/img, ETA %.0fs)",
                 num_done, total_images, per_img, eta,
             )
-    import jax
-
     if jax.process_count() > 1:
         # every host ran its loader shard; fold the other hosts' accumulated
         # predictions/GT in before scoring (reference: comm.gather to rank 0,
