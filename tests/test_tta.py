@@ -33,6 +33,35 @@ def test_predict_tta_runs_and_matches_single_variant(model_and_vars):
 
 
 @pytest.mark.slow
+def test_predict_tta_grouped_pass_matches_sequential(model_and_vars):
+    """Same-shape variants run as ONE batched pass (flip-pair batching); two
+    identical no-flip variants must produce exactly doubled summed probs and
+    identical averaged deltas vs the single-variant run — pinning that the
+    grouped path computes per-variant results equal to the sequential loop."""
+    model, variables = model_and_vars
+    rng = np.random.RandomState(9)
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+    sizes = jnp.asarray([[64, 64]], jnp.float32)
+
+    one = [{"image": img, "image_size": sizes, "scale": 1.0, "flip": False}]
+    two = one + [dict(one[0])]
+    det1 = model.apply(variables, img, sizes, one, method=WSRCNN.predict_tta)
+    det2 = model.apply(variables, img, sizes, two, method=WSRCNN.predict_tta)
+    v1, v2 = np.asarray(det1.valid), np.asarray(det2.valid)
+    # doubling all class scores preserves the NMS ranking; with the default
+    # score threshold detections can only be added, never removed
+    assert v2.sum() >= v1.sum()
+    n = int(min(v1.sum(), v2.sum()))
+    if n:
+        b1 = np.asarray(det1.boxes)[v1][:n]
+        b2 = np.asarray(det2.boxes)[v2][:n]
+        np.testing.assert_allclose(b1, b2, atol=1e-3)
+        s1 = np.asarray(det1.scores)[v1][:n]
+        s2 = np.asarray(det2.scores)[v2][:n]
+        np.testing.assert_allclose(2.0 * s1, s2, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_predict_tta_flip_variant(model_and_vars):
     model, variables = model_and_vars
     rng = np.random.RandomState(8)
