@@ -57,3 +57,30 @@ def test_dp_matches_single_device_loss():
                   jax.random.PRNGKey(7))
     for k in m1:
         np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_spatial_2d_mesh_matches_single_device_loss():
+    """(data x spatial) 2-D mesh: images sharded on (batch, height); XLA's SPMD
+    partitioner splits the backbone convs spatially (halo exchange) and gathers
+    where full feature maps are needed — global losses must match single-device."""
+    from unit_tpu.parallel.mesh import make_mesh_2d, shard_batch_spatial
+
+    mc = tiny_config()
+    model = WSRCNN(mc=mc)
+    opt = optax.sgd(0.0)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0))
+
+    strong, weak = _strong_batch(b=4), _weak_batch(b=4)
+    step1 = make_train_step(model, opt)
+    _, m1 = step1(state, strong, weak, None, jax.random.PRNGKey(7))
+
+    mesh = make_mesh_2d(4, 2)
+    state_r = replicate(mesh, create_train_state(model, opt, jax.random.PRNGKey(0)))
+    step2d = make_train_step(model, opt, mesh=mesh)
+    _, m2 = step2d(
+        state_r, shard_batch_spatial(mesh, strong), shard_batch_spatial(mesh, weak),
+        None, jax.random.PRNGKey(7),
+    )
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-4, atol=1e-5)

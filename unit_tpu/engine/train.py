@@ -84,11 +84,18 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
     repl = mesh_lib.replicated(mesh)
+    if mesh_lib.SPATIAL_AXIS in mesh.axis_names:
+        # 2-D (data x spatial) mesh: batch arrays carry their own shardings
+        # from shard_batch_spatial (images split on batch AND height; other
+        # arrays on batch) — None lets jit inherit them, and XLA's SPMD
+        # partitioner spatially splits the convolutions with halo exchange.
+        return jax.jit(
+            step_fn,
+            donate_argnums=(0,),
+            in_shardings=(repl, None, None, repl, repl),
+            out_shardings=(repl, repl),
+        )
     data = mesh_lib.data_sharded(mesh)
-
-    def batch_sharding(batch_template):
-        return jax.tree.map(lambda _: data, batch_template)
-
     return jax.jit(
         step_fn,
         donate_argnums=(0,),

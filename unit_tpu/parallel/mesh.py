@@ -48,3 +48,40 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+# --------------------------------------------------------------- 2-D (data x spatial)
+# Beyond-reference scaling: the reference supports DP only (SURVEY §2.6), but
+# large-canvas inputs can additionally shard the image HEIGHT across a second
+# mesh axis — XLA's SPMD partitioner splits the backbone convolutions spatially
+# and inserts the halo exchanges itself; ops that need the full feature map
+# (the ROIAlign custom call) get an all-gather inserted automatically.
+
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh_2d(n_data: int, n_spatial: int) -> Mesh:
+    devices = jax.devices()
+    n = n_data * n_spatial
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    return Mesh(
+        np.asarray(devices[:n]).reshape(n_data, n_spatial),
+        (DATA_AXIS, SPATIAL_AXIS),
+    )
+
+
+def spatial_sharded(mesh: Mesh) -> NamedSharding:
+    """[B, H, W, C] images: batch over 'data', height over 'spatial'."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+
+
+def shard_batch_spatial(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a batch dict with 4-D image arrays split (batch, height) over
+    the (data, spatial) mesh and every other array split on batch only."""
+    img_sh = spatial_sharded(mesh)
+    row_sh = NamedSharding(mesh, P(DATA_AXIS))
+    def put(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        return jax.device_put(x, img_sh if x.ndim == 4 else row_sh)
+    return jax.tree.map(put, batch)
