@@ -274,7 +274,10 @@ def roi_align_backward_pallas_batched(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((bsz, h, wp, c), acc_dtype),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(rois.reshape(-1), g.astype(jnp.float32))
+            # g stays in its native dtype (bf16 in production): the kernel
+            # converts per-row in VMEM. An f32 upcast here materialized an
+            # 822 MB convert+layout copy per stream in the step trace.
+        )(rois.reshape(-1), g)
         return out[:, :, :w]
 
     kernel = functools.partial(
@@ -306,7 +309,7 @@ def roi_align_backward_pallas_batched(
         out_shape=jax.ShapeDtypeStruct((bsz * h, wp, c), jnp.float32),
         input_output_aliases={2: 0},  # zeros operand (after scalar prefetch)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(rois.reshape(-1), g.astype(jnp.float32), zeros)
+    )(rois.reshape(-1), g, zeros)
     return out.reshape(bsz, h, wp, c)[:, :, :w]
 
 
