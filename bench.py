@@ -34,15 +34,17 @@ REFERENCE_IMG_PER_SEC_PER_CHIP = 2.5  # documented assumption, BASELINE.md
 
 
 def main():
-    from __graft_entry__ import _model_config
+    from __graft_entry__ import _bench_optimizer, _model_config
     from unit_tpu.engine import create_train_state, make_train_step
     from unit_tpu.models import WSRCNN
 
     mc = _model_config(tiny=False)
     model = WSRCNN(mc=mc)
     # tiny lr: keeps the full forward+backward+update graph (lr=0 would let XLA
-    # fold away the whole backward pass) without diverging on synthetic data
-    opt = optax.sgd(1e-6, momentum=0.9)
+    # fold away the whole backward pass) without diverging on synthetic data.
+    # Freeze semantics match the shipped recipe (FREEZE_AT 2): see
+    # __graft_entry__._bench_optimizer.
+    opt = _bench_optimizer(1e-6, momentum=0.9)
 
     # per-chip batch: 2 strong + 2 weak images at the 800-canvas
     b = 2

@@ -33,12 +33,12 @@ def main():
     import numpy as np
     import optax
 
-    from __graft_entry__ import _model_config
+    from __graft_entry__ import _bench_optimizer, _model_config
     from unit_tpu.engine import create_train_state, make_train_step
     from unit_tpu.models import WSRCNN
 
     model = WSRCNN(mc=_model_config(tiny=False))
-    opt = optax.sgd(1e-6, momentum=0.9)
+    opt = _bench_optimizer(1e-6, momentum=0.9)  # recipe freeze semantics
     b, h, w = 2, 800, 1344
     state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 256, 256, 3))
     rng = np.random.RandomState(0)

@@ -153,7 +153,21 @@ def build_optimizer(cfg, params, extra_frozen: Iterable[str] = ()) -> optax.Grad
         params,
     )
 
-    chain = []
+    frozen_mask = jax.tree_util.tree_map_with_path(
+        lambda p, _: is_frozen(path_str(p), cfg, extra_frozen), params
+    )
+
+    chain = [
+        # Zero frozen-parameter gradients BEFORE momentum: with only the final
+        # LR factor at 0 the trace still CONSUMES the gradients, so XLA cannot
+        # dead-code-eliminate the frozen layers' backward (wgrad convs + the
+        # dgrad chains feeding them).  Zeroing up front makes the computed
+        # gradient values unused and the whole frozen backward prunes away —
+        # the reference's requires_grad=False semantics (solver/build.py:61-115
+        # only creates param groups for requires_grad params).  Gradient FLOW
+        # through frozen modules to earlier trainable ones is unaffected.
+        optax.masked(optax.set_to_zero(), frozen_mask)
+    ]
     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
         if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "value":
             chain.append(optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
