@@ -171,8 +171,18 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
         preferred_element_type=jnp.float32,
     ).astype(jnp.bfloat16 if stochastic else jnp.float32)  # [Wh, P*C]
 
+    # All s y-samples of ONE output row land inside a static WROWS-row window:
+    # sample spread = bin_h*(s-1)/s <= bin_h <= H/p, plus 2 rows of bilinear
+    # support.  A single [WROWS, Wh, C] RMW per output row replaces the s
+    # separate [2, Wh, C] RMWs — the kernel is bound on this accumulator
+    # traffic (was ~45 GB per 1024 ROIs; the merge halves it for s=2).
+    import math as _math
+
+    wrows = min(height, int(_math.ceil((height / p) * (s - 1) / max(s, 1))) + 2)
     for ph in range(p):
         d_row = d_all[:, ph * c:(ph + 1) * c].astype(jnp.float32)  # [Wh, C]
+        base = None
+        offs, los, oobs = [], [], []
         for iy in range(s):
             y = y1 + (ph + (iy + 0.5) / s) * bin_h
             y_oob = (y < -1.0) | (y > height)
@@ -182,23 +192,33 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
             y0i = jnp.minimum(y0.astype(jnp.int32), height - 2)
             y0i = jnp.maximum(y0i, 0)
             ly = jnp.where(y0.astype(jnp.int32) > y0i, 1.0, ly)
-
-            d_masked = jnp.where(y_oob, 0.0, d_row)
-            # ONE dynamic read-modify-write for both touched rows: this
-            # kernel is VMEM-bandwidth-bound on the accumulator RMW traffic
-            # (~45 GB per 1024 ROIs with an f32 accumulator)
-            upd = jnp.stack([d_masked * (1.0 - ly), d_masked * ly])
-            new = acc_ref[pl.ds(y0i, 2)].astype(jnp.float32) + upd
-            if stochastic:
-                # bf16 accumulator + stochastic rounding: halves the RMW
-                # traffic; SR keeps the ~30-100-contribution sums unbiased
-                bits = jax.lax.bitcast_convert_type(
-                    pltpu.prng_random_bits(new.shape), jnp.uint32
-                )
-                new = pltpu.stochastic_round(
-                    new, bits, target_dtype=jnp.bfloat16
-                )
-            acc_ref[pl.ds(y0i, 2)] = new.astype(acc_ref.dtype)
+            base = y0i if base is None else jnp.minimum(base, y0i)
+            offs.append(y0i)
+            los.append(ly)
+            oobs.append(y_oob)
+        base = jnp.clip(base, 0, height - wrows)
+        # per-window-row weight: sum of each sample's two bilinear taps
+        rows = jax.lax.broadcasted_iota(jnp.int32, (wrows, 1), 0)[:, 0]
+        w4 = jnp.zeros((wrows,), jnp.float32)
+        for iy in range(s):
+            o = offs[iy] - base
+            li = jnp.where(oobs[iy], 0.0, los[iy])
+            top = jnp.where(oobs[iy], 0.0, 1.0 - los[iy])
+            w4 = w4 + jnp.where(rows == o, top, 0.0) + jnp.where(
+                rows == o + 1, li, 0.0
+            )
+        upd = d_row[None] * w4[:, None, None]  # [WROWS, Wh, C]
+        new = acc_ref[pl.ds(base, wrows)].astype(jnp.float32) + upd
+        if stochastic:
+            # bf16 accumulator + stochastic rounding: halves the RMW
+            # traffic; SR keeps the ~30-100-contribution sums unbiased
+            bits = jax.lax.bitcast_convert_type(
+                pltpu.prng_random_bits(new.shape), jnp.uint32
+            )
+            new = pltpu.stochastic_round(
+                new, bits, target_dtype=jnp.bfloat16
+            )
+        acc_ref[pl.ds(base, wrows)] = new.astype(acc_ref.dtype)
 
     @pl.when(n == num_rois - 1)
     def _flush():
