@@ -134,91 +134,105 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x1, y1, x2, y2 = _roi_coords(rois_ref, b, n, num_rois, spatial_scale)
-    bin_h = (y2 - y1) / p
-    bin_w = (x2 - x1) / p
 
-    ks = jax.lax.broadcasted_iota(jnp.int32, (p * s, 1), 0)[:, 0].astype(jnp.float32)
-    frac = ((ks % s) + 0.5) / s
-    bins = jnp.floor(ks / s)
-    xs = x1 + (bins + frac) * bin_w
-    x_oob = (xs < -1.0) | (xs > width)
-    xc = jnp.clip(xs, 0.0, width - 1)
-    x0 = jnp.floor(xc)
-    lx = xc - x0
-    # weight matrix over THIS width slice's global columns [hoff, hoff+Wh)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (p * s, half_width), 1) + hoff
-    cols = cols.astype(jnp.float32)
-    x0b = x0[:, None]
-    x1b = jnp.minimum(x0 + 1, width - 1)[:, None]
-    wx = jnp.where(cols == x0b, (1.0 - lx)[:, None], 0.0)
-    wx = wx + jnp.where(cols == x1b, lx[:, None], 0.0)
-    wx = jnp.where(x_oob[:, None], 0.0, wx)  # [P*s, Wh]
-    # fold the x-sample-pair sum and the 1/s^2 bin average into the weights
-    wx_bins = wx.reshape(p, s, half_width).sum(axis=1) / (s * s)  # [P, Wh]
+    # Skip ROIs whose x-support does not touch THIS width slice at all: with
+    # the grid iterating every ROI in every slice, a typical narrow proposal
+    # otherwise pays the full matmul + accumulator RMW cost in slices where
+    # its weight matrix is entirely zero.  The bilinear taps of clipped
+    # samples reach one column beyond [x1, x2] on each side.
+    x_sup_lo = jnp.floor(jnp.minimum(x1, x2)) - 1.0
+    x_sup_hi = jnp.ceil(jnp.maximum(x1, x2)) + 1.0
+    overlaps = (x_sup_hi >= hoff) & (x_sup_lo < hoff + half_width)
 
-    c = g_ref.shape[-1]
-    # stage all bin rows of the incoming gradient side-by-side: [P, P*C];
-    # one [P, Wh]^T x [P, P*C] matmul then yields every output row's d(row)
-    # at once instead of P*s small dependent MXU ops per ROI
-    g_all = jnp.concatenate(
-        [g_ref[0, 0, ph].astype(jnp.float32) for ph in range(p)], axis=-1
-    )
-    # bf16 staging only in stochastic mode (halves the value's VMEM
-    # footprint); the f32 mode keeps the gradient path exact
-    d_all = jax.lax.dot_general(
-        wx_bins, g_all, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16 if stochastic else jnp.float32)  # [Wh, P*C]
+    @pl.when(overlaps)
+    def _roi_body():
+        bin_h = (y2 - y1) / p
+        bin_w = (x2 - x1) / p
 
-    # All s y-samples of ONE output row land inside a static WROWS-row window:
-    # sample spread = bin_h*(s-1)/s <= bin_h <= H/p, plus 2 rows of bilinear
-    # support.  A single [WROWS, Wh, C] RMW per output row replaces the s
-    # separate [2, Wh, C] RMWs — the kernel is bound on this accumulator
-    # traffic (was ~45 GB per 1024 ROIs; the merge halves it for s=2).
-    import math as _math
+        ks = jax.lax.broadcasted_iota(jnp.int32, (p * s, 1), 0)[:, 0].astype(
+            jnp.float32
+        )
+        frac = ((ks % s) + 0.5) / s
+        bins = jnp.floor(ks / s)
+        xs = x1 + (bins + frac) * bin_w
+        x_oob = (xs < -1.0) | (xs > width)
+        xc = jnp.clip(xs, 0.0, width - 1)
+        x0 = jnp.floor(xc)
+        lx = xc - x0
+        # weight matrix over THIS width slice's global columns [hoff, hoff+Wh)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (p * s, half_width), 1) + hoff
+        cols = cols.astype(jnp.float32)
+        x0b = x0[:, None]
+        x1b = jnp.minimum(x0 + 1, width - 1)[:, None]
+        wx = jnp.where(cols == x0b, (1.0 - lx)[:, None], 0.0)
+        wx = wx + jnp.where(cols == x1b, lx[:, None], 0.0)
+        wx = jnp.where(x_oob[:, None], 0.0, wx)  # [P*s, Wh]
+        # fold the x-sample-pair sum and the 1/s^2 bin average into the weights
+        wx_bins = wx.reshape(p, s, half_width).sum(axis=1) / (s * s)  # [P, Wh]
 
-    wrows = min(height, int(_math.ceil((height / p) * (s - 1) / max(s, 1))) + 2)
-    for ph in range(p):
-        d_row = d_all[:, ph * c:(ph + 1) * c].astype(jnp.float32)  # [Wh, C]
-        base = None
-        offs, los, oobs = [], [], []
-        for iy in range(s):
-            y = y1 + (ph + (iy + 0.5) / s) * bin_h
-            y_oob = (y < -1.0) | (y > height)
-            yc = jnp.clip(y, 0.0, height - 1)
-            y0 = jnp.floor(yc)
-            ly = yc - y0
-            y0i = jnp.minimum(y0.astype(jnp.int32), height - 2)
-            y0i = jnp.maximum(y0i, 0)
-            ly = jnp.where(y0.astype(jnp.int32) > y0i, 1.0, ly)
-            base = y0i if base is None else jnp.minimum(base, y0i)
-            offs.append(y0i)
-            los.append(ly)
-            oobs.append(y_oob)
-        base = jnp.clip(base, 0, height - wrows)
-        # per-window-row weight: sum of each sample's two bilinear taps
-        rows = jax.lax.broadcasted_iota(jnp.int32, (wrows, 1), 0)[:, 0]
-        w4 = jnp.zeros((wrows,), jnp.float32)
-        for iy in range(s):
-            o = offs[iy] - base
-            li = jnp.where(oobs[iy], 0.0, los[iy])
-            top = jnp.where(oobs[iy], 0.0, 1.0 - los[iy])
-            w4 = w4 + jnp.where(rows == o, top, 0.0) + jnp.where(
-                rows == o + 1, li, 0.0
-            )
-        upd = d_row[None] * w4[:, None, None]  # [WROWS, Wh, C]
-        new = acc_ref[pl.ds(base, wrows)].astype(jnp.float32) + upd
-        if stochastic:
-            # bf16 accumulator + stochastic rounding: halves the RMW
-            # traffic; SR keeps the ~30-100-contribution sums unbiased
-            bits = jax.lax.bitcast_convert_type(
-                pltpu.prng_random_bits(new.shape), jnp.uint32
-            )
-            new = pltpu.stochastic_round(
-                new, bits, target_dtype=jnp.bfloat16
-            )
-        acc_ref[pl.ds(base, wrows)] = new.astype(acc_ref.dtype)
+        c = g_ref.shape[-1]
+        # stage all bin rows of the incoming gradient side-by-side: [P, P*C];
+        # one [P, Wh]^T x [P, P*C] matmul then yields every output row's d(row)
+        # at once instead of P*s small dependent MXU ops per ROI
+        g_all = jnp.concatenate(
+            [g_ref[0, 0, ph].astype(jnp.float32) for ph in range(p)], axis=-1
+        )
+        # bf16 staging only in stochastic mode (halves the value's VMEM
+        # footprint); the f32 mode keeps the gradient path exact
+        d_all = jax.lax.dot_general(
+            wx_bins, g_all, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16 if stochastic else jnp.float32)  # [Wh, P*C]
+
+        # All s y-samples of ONE output row land inside a static WROWS-row
+        # window: sample spread = bin_h*(s-1)/s <= bin_h <= H/p, plus 2 rows of
+        # bilinear support.  A single [WROWS, Wh, C] RMW per output row
+        # replaces the s separate [2, Wh, C] RMWs — the kernel is bound on this
+        # accumulator traffic (was ~45 GB per 1024 ROIs before the merge).
+        import math as _math
+
+        wrows = min(height, int(_math.ceil((height / p) * (s - 1) / max(s, 1))) + 2)
+        for ph in range(p):
+            d_row = d_all[:, ph * c:(ph + 1) * c].astype(jnp.float32)  # [Wh, C]
+            base = None
+            offs, los, oobs = [], [], []
+            for iy in range(s):
+                y = y1 + (ph + (iy + 0.5) / s) * bin_h
+                y_oob = (y < -1.0) | (y > height)
+                yc = jnp.clip(y, 0.0, height - 1)
+                y0 = jnp.floor(yc)
+                ly = yc - y0
+                y0i = jnp.minimum(y0.astype(jnp.int32), height - 2)
+                y0i = jnp.maximum(y0i, 0)
+                ly = jnp.where(y0.astype(jnp.int32) > y0i, 1.0, ly)
+                base = y0i if base is None else jnp.minimum(base, y0i)
+                offs.append(y0i)
+                los.append(ly)
+                oobs.append(y_oob)
+            base = jnp.clip(base, 0, height - wrows)
+            # per-window-row weight: sum of each sample's two bilinear taps
+            rows = jax.lax.broadcasted_iota(jnp.int32, (wrows, 1), 0)[:, 0]
+            w4 = jnp.zeros((wrows,), jnp.float32)
+            for iy in range(s):
+                o = offs[iy] - base
+                li = jnp.where(oobs[iy], 0.0, los[iy])
+                top = jnp.where(oobs[iy], 0.0, 1.0 - los[iy])
+                w4 = w4 + jnp.where(rows == o, top, 0.0) + jnp.where(
+                    rows == o + 1, li, 0.0
+                )
+            upd = d_row[None] * w4[:, None, None]  # [WROWS, Wh, C]
+            new = acc_ref[pl.ds(base, wrows)].astype(jnp.float32) + upd
+            if stochastic:
+                # bf16 accumulator + stochastic rounding: halves the RMW
+                # traffic; SR keeps the ~30-100-contribution sums unbiased
+                bits = jax.lax.bitcast_convert_type(
+                    pltpu.prng_random_bits(new.shape), jnp.uint32
+                )
+                new = pltpu.stochastic_round(
+                    new, bits, target_dtype=jnp.bfloat16
+                )
+            acc_ref[pl.ds(base, wrows)] = new.astype(acc_ref.dtype)
 
     @pl.when(n == num_rois - 1)
     def _flush():
