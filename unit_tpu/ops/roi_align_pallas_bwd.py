@@ -144,11 +144,28 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
     x_sup_hi = jnp.ceil(jnp.maximum(x1, x2)) + 1.0
     overlaps = (x_sup_hi >= hoff) & (x_sup_lo < hoff + half_width)
 
-    @pl.when(overlaps)
-    def _roi_body():
-        bin_h = (y2 - y1) / p
-        bin_w = (x2 - x1) / p
+    import math as _math
 
+    # All s y-samples of ONE output row land inside a static WROWS-row window:
+    # sample spread = bin_h*(s-1)/s <= bin_h <= H/p, plus 2 rows of bilinear
+    # support.  A single [WROWS, ncols, C] RMW per output row replaces the s
+    # separate [2, ncols, C] RMWs — the kernel is bound on this accumulator
+    # traffic (was ~45 GB per 1024 ROIs before the merge).
+    wrows = min(height, int(_math.ceil((height / p) * (s - 1) / max(s, 1))) + 2)
+    # static x-window for narrow ROIs: multiple of the 8-sublane tile, covering
+    # boxes up to (XW-3) feature columns wide; wider ROIs take the full-slice
+    # path.  Narrow proposals dominate RPN outputs, so most ROIs touch a
+    # quarter-width window instead of the whole slice.
+    xw = 16
+    bin_h = (y2 - y1) / p
+    bin_w = (x2 - x1) / p
+
+    def _accum(ncols, col0):
+        """Accumulate this ROI's gradient into acc columns [col0, col0+ncols).
+
+        col0 is a traced absolute column index (sublane-aligned); ncols is
+        static.  The x-weight matrix is built directly in window coordinates,
+        so support outside the window contributes exactly zero."""
         ks = jax.lax.broadcasted_iota(jnp.int32, (p * s, 1), 0)[:, 0].astype(
             jnp.float32
         )
@@ -159,21 +176,20 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
         xc = jnp.clip(xs, 0.0, width - 1)
         x0 = jnp.floor(xc)
         lx = xc - x0
-        # weight matrix over THIS width slice's global columns [hoff, hoff+Wh)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (p * s, half_width), 1) + hoff
+        cols = jax.lax.broadcasted_iota(jnp.int32, (p * s, ncols), 1) + col0
         cols = cols.astype(jnp.float32)
         x0b = x0[:, None]
         x1b = jnp.minimum(x0 + 1, width - 1)[:, None]
         wx = jnp.where(cols == x0b, (1.0 - lx)[:, None], 0.0)
         wx = wx + jnp.where(cols == x1b, lx[:, None], 0.0)
-        wx = jnp.where(x_oob[:, None], 0.0, wx)  # [P*s, Wh]
+        wx = jnp.where(x_oob[:, None], 0.0, wx)  # [P*s, ncols]
         # fold the x-sample-pair sum and the 1/s^2 bin average into the weights
-        wx_bins = wx.reshape(p, s, half_width).sum(axis=1) / (s * s)  # [P, Wh]
+        wx_bins = wx.reshape(p, s, ncols).sum(axis=1) / (s * s)  # [P, ncols]
 
         c = g_ref.shape[-1]
         # stage all bin rows of the incoming gradient side-by-side: [P, P*C];
-        # one [P, Wh]^T x [P, P*C] matmul then yields every output row's d(row)
-        # at once instead of P*s small dependent MXU ops per ROI
+        # one [P, ncols]^T x [P, P*C] matmul then yields every output row's
+        # d(row) at once instead of P*s small dependent MXU ops per ROI
         g_all = jnp.concatenate(
             [g_ref[0, 0, ph].astype(jnp.float32) for ph in range(p)], axis=-1
         )
@@ -183,18 +199,14 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
             wx_bins, g_all, (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16 if stochastic else jnp.float32)  # [Wh, P*C]
+        ).astype(jnp.bfloat16 if stochastic else jnp.float32)  # [ncols, P*C]
 
-        # All s y-samples of ONE output row land inside a static WROWS-row
-        # window: sample spread = bin_h*(s-1)/s <= bin_h <= H/p, plus 2 rows of
-        # bilinear support.  A single [WROWS, Wh, C] RMW per output row
-        # replaces the s separate [2, Wh, C] RMWs — the kernel is bound on this
-        # accumulator traffic (was ~45 GB per 1024 ROIs before the merge).
-        import math as _math
-
-        wrows = min(height, int(_math.ceil((height / p) * (s - 1) / max(s, 1))) + 2)
+        # column offset inside this slice's accumulator; built from
+        # 8-aligned quantities, which Mosaic needs asserted for the dynamic
+        # sublane-dimension slice below
+        crel = pl.multiple_of(col0 - hoff, 8)
         for ph in range(p):
-            d_row = d_all[:, ph * c:(ph + 1) * c].astype(jnp.float32)  # [Wh, C]
+            d_row = d_all[:, ph * c:(ph + 1) * c].astype(jnp.float32)
             base = None
             offs, los, oobs = [], [], []
             for iy in range(s):
@@ -221,8 +233,10 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
                 w4 = w4 + jnp.where(rows == o, top, 0.0) + jnp.where(
                     rows == o + 1, li, 0.0
                 )
-            upd = d_row[None] * w4[:, None, None]  # [WROWS, Wh, C]
-            new = acc_ref[pl.ds(base, wrows)].astype(jnp.float32) + upd
+            upd = d_row[None] * w4[:, None, None]  # [WROWS, ncols, C]
+            new = acc_ref[
+                pl.ds(base, wrows), pl.ds(crel, ncols)
+            ].astype(jnp.float32) + upd
             if stochastic:
                 # bf16 accumulator + stochastic rounding: halves the RMW
                 # traffic; SR keeps the ~30-100-contribution sums unbiased
@@ -232,7 +246,29 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
                 new = pltpu.stochastic_round(
                     new, bits, target_dtype=jnp.bfloat16
                 )
-            acc_ref[pl.ds(base, wrows)] = new.astype(acc_ref.dtype)
+            acc_ref[pl.ds(base, wrows), pl.ds(crel, ncols)] = new.astype(
+                acc_ref.dtype
+            )
+
+    # xw-8 threshold: the window start is aligned DOWN to the 8-sublane tile,
+    # which can cost up to 7 columns of slack, and slice-boundary clamping is
+    # covered by the same margin (see the case analysis in the commit message)
+    narrow = (x_sup_hi - x_sup_lo) <= (xw - 8)
+    if xw < half_width:
+        @pl.when(overlaps & narrow)
+        def _roi_narrow():
+            # 8-sublane-aligned window start, clamped inside this slice
+            col0 = jnp.floor(x_sup_lo / 8.0).astype(jnp.int32) * 8
+            col0 = jnp.clip(col0, hoff, hoff + half_width - xw)
+            _accum(xw, col0)
+
+        @pl.when(overlaps & ~narrow)
+        def _roi_full():
+            _accum(half_width, hoff)
+    else:
+        @pl.when(overlaps)
+        def _roi_any():
+            _accum(half_width, hoff)
 
     @pl.when(n == num_rois - 1)
     def _flush():
