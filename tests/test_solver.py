@@ -57,3 +57,35 @@ def test_optimizer_freezes_and_updates():
     live_upd = updates["supervised"]["cls_score_delta"]["kernel"]
     assert float(jnp.abs(frozen_upd).sum()) == 0.0
     assert float(jnp.abs(live_upd).sum()) > 0.0
+
+
+def test_frozen_params_receive_exactly_zero_updates():
+    """Freezing must zero the UPDATE (and keep momentum at zero) so XLA can
+    prune the frozen backward — regression for the round-2 change that moved
+    freezing from a final LR factor to masked set_to_zero before the trace."""
+    import jax
+    import jax.numpy as jnp
+
+    from unit_tpu.config import get_cfg
+    from unit_tpu.solver import build_optimizer
+
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.FREEZE_AT = 2
+    # path_str uses '/'-joined keys; mirror the real tree layout
+    params = {
+        "backbone": {
+            "stem": {"conv1": {"kernel": jnp.ones((3, 3))}},
+            "res2": {"b0": {"kernel": jnp.ones((3, 3))}},
+            "res4": {"b0": {"kernel": jnp.ones((3, 3))}},
+        }
+    }
+    opt = build_optimizer(cfg, params)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state2 = opt.update(grads, state, params)
+    assert float(jnp.abs(updates["backbone"]["stem"]["conv1"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(updates["backbone"]["res2"]["b0"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(updates["backbone"]["res4"]["b0"]["kernel"]).max()) > 0.0
+    # second step: frozen momentum stays identically zero
+    updates2, _ = opt.update(grads, state2, params)
+    assert float(jnp.abs(updates2["backbone"]["res2"]["b0"]["kernel"]).max()) == 0.0
