@@ -154,8 +154,21 @@ def build_strong_loader(cfg, dataset_names=None, seed=0, image_loader=None,
     records = list(itertools.chain.from_iterable(DatasetCatalog.get(n) for n in names))
     records = _host_shard(records)
     keys = _STRONG_KEYS + (("gt_masks",) if cfg.MODEL.MASK_ON else ())
+    tcfg = TransformConfig.train_from_cfg(cfg)
+    if cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TRAIN:
+        # PrecomputedProposals strong stream (dock suite): proposals replace
+        # the RPN for the supervised batch too (ref PROPOSAL_GENERATOR:
+        # "PrecomputedProposals", COCO-VGG-CNN-F-split1-dock.yaml)
+        from .proposals import attach_proposals
+
+        attach_proposals(
+            records, cfg.DATASETS.PROPOSAL_FILES_TRAIN,
+            cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN,
+        )
+        tcfg.proposal_capacity = cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN
+        keys = keys + ("proposals", "proposals_valid")
     return StreamLoader(
-        records, TransformConfig.train_from_cfg(cfg),
+        records, tcfg,
         batch_size or cfg.SOLVER.IMS_PER_BATCH, keys, seed=seed,
         image_loader=image_loader,
     )
@@ -212,6 +225,16 @@ def build_test_loader(cfg, dataset_name: str, image_loader=None, batch_size=1):
     (image_id, scale, orig_size) for the evaluator."""
     records = DatasetCatalog.get(dataset_name)
     tcfg = TransformConfig.test_from_cfg(cfg)
+    extra_keys = ()
+    if cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TEST:
+        from .proposals import attach_proposals
+
+        attach_proposals(
+            records, cfg.DATASETS.PROPOSAL_FILES_TEST,
+            cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST,
+        )
+        tcfg.proposal_capacity = cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST
+        extra_keys = ("proposals", "proposals_valid")
     rng = np.random.RandomState(0)
 
     def gen():
@@ -222,20 +245,20 @@ def build_test_loader(cfg, dataset_name: str, image_loader=None, batch_size=1):
                 prepare_detection_record(rec, tcfg, rng, image=img, training=False)
             )
             if len(batch) == batch_size:
-                yield _finalize_test_batch(batch)
+                yield _finalize_test_batch(batch, extra_keys)
                 batch = []
         if batch:
             while len(batch) < batch_size:  # pad the final partial batch
                 pad = {k: np.copy(v) for k, v in batch[-1].items()}
                 pad["image_id"] = None
                 batch.append(pad)
-            yield _finalize_test_batch(batch)
+            yield _finalize_test_batch(batch, extra_keys)
 
     return gen(), len(records)
 
 
-def _finalize_test_batch(batch):
-    out = collate(batch, ("image", "image_size"))
+def _finalize_test_batch(batch, extra_keys=()):
+    out = collate(batch, ("image", "image_size") + tuple(extra_keys))
     out["image_id"] = [s["image_id"] for s in batch]
     out["scale"] = np.asarray([s["scale"] for s in batch])
     out["orig_size"] = np.stack([s["orig_size"] for s in batch])

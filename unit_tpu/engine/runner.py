@@ -226,8 +226,15 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
     from ..models import WSRCNN
 
     use_tta = cfg.TEST.AUG.ENABLED
+    use_test_proposals = bool(
+        cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TEST
+    )
 
-    predict = make_predict_fn(model)
+    predict = (
+        make_predict_fn(model, with_proposals=True)
+        if use_test_proposals
+        else make_predict_fn(model)
+    )
     if use_tta:
         # flip flags must be compile-time constants; scales/images are traced
         flips = []
@@ -276,8 +283,12 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
                     cfg, name, image_loader=image_loader,
                     batch_size=int(getattr(cfg.TPU, "EVAL_BATCH_SIZE", 1)),
                 )
+                if use_test_proposals:
+                    fn = lambda im, sz, pb, pv: predict(params, im, sz, pb, pv)  # noqa: E731
+                else:
+                    fn = lambda im, sz: predict(params, im, sz)  # noqa: E731
                 all_results[name] = inference_on_dataset(
-                    lambda im, sz: predict(params, im, sz), loader, evaluator, n
+                    fn, loader, evaluator, n
                 )
         if len(all_results) == 1:
             return next(iter(all_results.values()))

@@ -104,7 +104,7 @@ def make_train_step(
     )
 
 
-def make_predict_fn(model: WSRCNN, mesh=None) -> Callable:
+def make_predict_fn(model: WSRCNN, mesh=None, with_proposals: bool = False) -> Callable:
     # WeakRCNN configs score with the weak detector alone (rcnn.py:21-185)
     method = (
         WSRCNN.predict_weak_only
@@ -112,8 +112,18 @@ def make_predict_fn(model: WSRCNN, mesh=None) -> Callable:
         else WSRCNN.predict
     )
 
-    def predict_fn(params, images, image_sizes):
-        return model.apply({"params": params}, images, image_sizes, method=method)
+    if with_proposals:
+        # PrecomputedProposals inference (dock suite): proposals come from the
+        # batch, the RPN is skipped inside predict
+        def predict_fn(params, images, image_sizes, prop_boxes, prop_valid):
+            return model.apply(
+                {"params": params}, images, image_sizes,
+                proposal_boxes=prop_boxes, proposal_valid=prop_valid,
+                method=method,
+            )
+    else:
+        def predict_fn(params, images, image_sizes):
+            return model.apply({"params": params}, images, image_sizes, method=method)
 
     if mesh is None:
         return jax.jit(predict_fn)

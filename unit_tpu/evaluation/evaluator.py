@@ -32,7 +32,14 @@ def inference_on_dataset(
     total_time = 0.0
     for batch_idx, batch in enumerate(loader):
         t0 = time.perf_counter()
-        det = predict_fn(batch["image"], batch["image_size"])
+        if "proposals" in batch:
+            # PrecomputedProposals path: test loader attached MCG-style boxes
+            det = predict_fn(
+                batch["image"], batch["image_size"],
+                batch["proposals"], batch["proposals_valid"],
+            )
+        else:
+            det = predict_fn(batch["image"], batch["image_size"])
         # one batched host transfer for all output fields (per-field np.asarray
         # pays one device round-trip each — costly on remote-attached TPUs)
         boxes, scores, classes, valid, masks = jax.device_get(

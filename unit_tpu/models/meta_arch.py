@@ -392,7 +392,20 @@ class WSRCNN(nn.Module):
             logits, logits_w = all_logits[:bs], all_logits[bs:]
             deltas, deltas_w = all_deltas[:bs], all_deltas[bs:]
 
+        # PrecomputedProposals (dock suite): loaded proposals replace the RPN
+        # entirely for the strong stream too — no RPN losses, as the
+        # reference's PROPOSAL_GENERATOR: "PrecomputedProposals" contributes
+        # none (COCO-VGG-CNN-F-split1-dock.yaml).
+        strong_precomputed = (
+            mc.load_proposals and strong is not None and "proposals" in strong
+        )
         if strong is not None:
+            gt = GTInstances(
+                boxes=strong["gt_boxes"],
+                classes=strong["gt_classes"],
+                valid=strong["gt_valid"],
+            )
+        if strong is not None and not strong_precomputed:
             # The RPN always trains on the strong batch — including the
             # weak-only WeakRCNN phase (rcnn.py:96-134) and TRAIN_ONLY_WEAK.
             if feats is None:
@@ -400,20 +413,23 @@ class WSRCNN(nn.Module):
                 logits, deltas = self.rpn(feats)
             fh, fw = feats.shape[1], feats.shape[2]
             anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
-            gt = GTInstances(
-                boxes=strong["gt_boxes"],
-                classes=strong["gt_classes"],
-                valid=strong["gt_valid"],
-            )
             losses.update(
                 rpn_lib.rpn_losses(k_rpn, logits, deltas, anchors, gt, mc.rpn)
             )
         if strong is not None and not train_only_weak:
-            proposals = rpn_lib.select_proposals(
-                jax.lax.stop_gradient(logits),
-                jax.lax.stop_gradient(deltas),
-                anchors, strong["image_size"], mc.rpn, training=True,
-            )
+            if strong_precomputed:
+                if feats is None:
+                    feats = self.features(strong["image"])
+                prop_boxes = strong["proposals"]
+                prop_valid = strong["proposals_valid"]
+            else:
+                proposals = rpn_lib.select_proposals(
+                    jax.lax.stop_gradient(logits),
+                    jax.lax.stop_gradient(deltas),
+                    anchors, strong["image_size"], mc.rpn, training=True,
+                )
+                prop_boxes = proposals.boxes
+                prop_valid = proposals.valid
             b = strong["image"].shape[0]
             keys = jax.random.split(k_sample, b)
             sampled = jax.vmap(
@@ -422,7 +438,7 @@ class WSRCNN(nn.Module):
                     mc.num_classes, mc.roi_iou_thresholds, mc.roi_iou_labels,
                     mc.proposal_append_gt,
                 )
-            )(keys, proposals.boxes, proposals.valid, gt)
+            )(keys, prop_boxes, prop_valid, gt)
 
             pooled = self.pooled_rois(feats, sampled.boxes)
             if mc.mask_on:
@@ -602,18 +618,33 @@ class WSRCNN(nn.Module):
         )
 
     def predict(
-        self, images: jnp.ndarray, image_sizes: jnp.ndarray, with_transfer: bool = True
+        self, images: jnp.ndarray, image_sizes: jnp.ndarray,
+        with_transfer: bool = True,
+        proposal_boxes: Optional[jnp.ndarray] = None,
+        proposal_valid: Optional[jnp.ndarray] = None,
     ) -> Detections:
         """Batched inference (generalizes the reference's batch-1-only path,
-        rcnn.py:493-542)."""
+        rcnn.py:493-542).  With ``proposal_boxes`` given (PrecomputedProposals,
+        the dock suite), the RPN is skipped entirely."""
         mc = self.mc
         feats = self.features(images)
-        logits, deltas = self.rpn(feats)
-        fh, fw = feats.shape[1], feats.shape[2]
-        anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
-        proposals = rpn_lib.select_proposals(
-            logits, deltas, anchors, image_sizes, mc.rpn, training=False
-        )
+        if proposal_boxes is not None:
+            proposals = rpn_lib.Proposals(
+                boxes=proposal_boxes,
+                objectness=jnp.zeros(proposal_boxes.shape[:2], jnp.float32),
+                valid=(
+                    proposal_valid
+                    if proposal_valid is not None
+                    else jnp.ones(proposal_boxes.shape[:2], bool)
+                ),
+            )
+        else:
+            logits, deltas = self.rpn(feats)
+            fh, fw = feats.shape[1], feats.shape[2]
+            anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
+            proposals = rpn_lib.select_proposals(
+                logits, deltas, anchors, image_sizes, mc.rpn, training=False
+            )
         b, p = proposals.boxes.shape[:2]
         pooled = self.pooled_rois(feats, proposals.boxes)
         box_feats = self.box_features(pooled, "box")
