@@ -202,7 +202,13 @@ def load_initial_weights(cfg, params):
         params, loaded, skipped = merge_params_from_orbax(params, weights)
         logger.info("warm-started %d tensors from orbax %s (%d new/skipped)",
                     loaded, weights, len(skipped))
-    elif weights and os.path.exists(weights):
+    elif weights and not os.path.exists(weights):
+        # the reference's DetectionCheckpointer raises on missing files too;
+        # silently evaluating a random-init model is far worse than failing
+        raise FileNotFoundError(
+            f"MODEL.WEIGHTS points at {weights!r}, which does not exist"
+        )
+    elif weights:
         if weights.endswith(".npz"):
             sd = dict(np.load(weights))
         else:
