@@ -228,7 +228,13 @@ def roi_align_pallas_batched(features, rois, output_size=14,
 
 
 def _forward(features, rois, output_size, spatial_scale, sampling_ratio):
-    bsz, h, w, c = features.shape
+    bsz, h, w, c0 = features.shape
+    # Lane alignment: the whole-image DMA slices HBM memrefs whose minor dim
+    # must be a multiple of the 128-lane tile (InceptionResNetV2's 1088
+    # channels are not) — pad channels up and slice the output back.
+    c = ((c0 + 127) // 128) * 128
+    if c != c0:
+        features = jnp.pad(features, ((0, 0), (0, 0), (0, 0), (0, c - c0)))
     # DMA slices of the HBM feature map need the row dimension aligned to the
     # dtype's sublane tiling (8 for f32, 16 for bf16).
     align = 16 if features.dtype == jnp.bfloat16 else 8
@@ -283,7 +289,7 @@ def _forward(features, rois, output_size, spatial_scale, sampling_ratio):
         # between pooling and the (bf16) box heads
         out_shape=jax.ShapeDtypeStruct((bsz, n, p, p, c), features.dtype),
     )(rois.reshape(-1), feat_arg)
-    return out
+    return out[..., :c0] if c != c0 else out
 
 
 def _fwd(features, rois, output_size, spatial_scale, sampling_ratio):

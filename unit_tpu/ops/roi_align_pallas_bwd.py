@@ -308,7 +308,12 @@ def roi_align_backward_pallas_batched(
     """stochastic_bf16: accumulate in bf16 with stochastic rounding (for the
     bf16 production pipeline, where the gradient leaves this op as bf16
     anyway) — halves the VMEM RMW traffic this kernel is bound on."""
-    bsz, h, w, c = feature_shape
+    bsz, h, w, c0 = feature_shape
+    # lane alignment: pad channels to the 128-lane tile (e.g. InceptionResNetV2
+    # has 1088) and slice the gradient back at the end
+    c = ((c0 + 127) // 128) * 128
+    if c != c0:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, 0), (0, c - c0)))
     wp = ((w + 7) // 8) * 8
     n = rois.shape[1]
     p = output_size
@@ -348,7 +353,7 @@ def roi_align_backward_pallas_batched(
             # converts per-row in VMEM. An f32 upcast here materialized an
             # 822 MB convert+layout copy per stream in the step trace.
         )(rois.reshape(-1), g)
-        return out[:, :, :w]
+        return out[:, :, :w, :c0]
 
     kernel = functools.partial(
         _bwd_kernel, output_size=p, spatial_scale=spatial_scale,
@@ -380,7 +385,7 @@ def roi_align_backward_pallas_batched(
         input_output_aliases={2: 0},  # zeros operand (after scalar prefetch)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(rois.reshape(-1), g, zeros)
-    return out.reshape(bsz, h, wp, c)[:, :, :w]
+    return out.reshape(bsz, h, wp, c)[:, :, :w, :c0]
 
 
 def roi_align_backward_pallas(
