@@ -60,3 +60,49 @@ def test_weak_only_phase_freezes_supervised_branch():
     # the weak branch still trains
     assert moved(["weak_detector", "classifier_stream"])
     assert moved(["weak_box_head", "res5"])
+
+
+def test_prefetcher_close_stops_thread():
+    """Abandoned/closed iterators must stop their producer thread (round-2
+    verdict: a daemon thread kept loading images after its test's tmpdir was
+    deleted)."""
+
+    def infinite():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    pf = Prefetcher(iter(infinite()), depth=2)
+    assert next(pf) == 0
+    pf.close()
+    assert not pf.thread.is_alive()
+    # a closed prefetcher raises StopIteration instead of blocking
+    try:
+        next(pf)
+        raised = False
+    except StopIteration:
+        raised = True
+    assert raised
+
+
+def test_prefetcher_forwards_producer_exception():
+    def bad_gen():
+        yield 1
+        raise ValueError("boom")
+
+    pf = Prefetcher(iter(bad_gen()))
+    assert next(pf) == 1
+    try:
+        next(pf)
+        raised = False
+    except ValueError as e:
+        raised = "boom" in str(e)
+    assert raised
+    pf.close()
+
+
+def test_prefetcher_context_manager():
+    with Prefetcher(iter(range(100)), depth=1) as pf:
+        assert next(pf) == 0
+    assert not pf.thread.is_alive()

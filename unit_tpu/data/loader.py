@@ -413,25 +413,83 @@ def build_support_loader(cfg, dataset_name: str = "voc_base_training_support",
     )
 
 
+class _PrefetchError:
+    """Envelope forwarding a producer-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+_PREFETCH_DONE = object()
+
+
+def _prefetch_worker(it, q, stop, sentinel):
+    # Module-level so the thread does NOT hold a reference to the Prefetcher:
+    # an abandoned Prefetcher then becomes garbage, its __del__ sets `stop`,
+    # and the thread exits instead of reading disk forever.
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_lib.Full:
+                continue
+        return False
+
+    try:
+        for item in it:
+            if not put(item) or stop.is_set():
+                return
+        put(sentinel)
+    except BaseException as e:  # noqa: BLE001 — forwarded, re-raised by consumer
+        if not stop.is_set():
+            put(_PrefetchError(e))
+
+
 class Prefetcher:
-    """Background-thread prefetch of an iterator (replaces DataLoader workers)."""
+    """Background-thread prefetch of an iterator (replaces DataLoader workers).
+
+    Closeable: ``close()`` (also via ``with`` or garbage collection) signals the
+    producer thread to stop, so abandoned iterators do not leak a thread that
+    keeps reading disk.  Producer exceptions are re-raised in the consumer."""
 
     def __init__(self, it: Iterator, depth: int = 2):
-        self.it = it
         self.q: queue_lib.Queue = queue_lib.Queue(maxsize=depth)
-        self.thread = threading.Thread(target=self._run, daemon=True)
+        self._stop = threading.Event()
+        self.thread = threading.Thread(
+            target=_prefetch_worker, args=(it, self.q, self._stop, _PREFETCH_DONE),
+            daemon=True,
+        )
         self.thread.start()
-
-    def _run(self):
-        for item in self.it:
-            self.q.put(item)
-        self.q.put(StopIteration)
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        item = self.q.get()
-        if item is StopIteration:
+        if self._stop.is_set():
             raise StopIteration
+        item = self.q.get()
+        if item is _PREFETCH_DONE:
+            raise StopIteration
+        if isinstance(item, _PrefetchError):
+            raise item.exc
         return item
+
+    def close(self, timeout: float = 5.0):
+        self._stop.set()
+        try:  # drain so a blocked producer unblocks immediately
+            while True:
+                self.q.get_nowait()
+        except queue_lib.Empty:
+            pass
+        self.thread.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        # only signal — joining from a finalizer is unsafe
+        self._stop.set()

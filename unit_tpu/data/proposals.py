@@ -65,13 +65,27 @@ def attach_proposals(
     return records
 
 
-def pad_record_proposals(rec: dict, scale: float, capacity: int):
-    """Fixed-shape (boxes [P, 4], valid [P]) in network-input coords."""
+def pad_record_proposals(
+    rec: dict, scale: float, capacity: int, new_w: float = None, new_h: float = None
+):
+    """Fixed-shape (boxes [P, 4], valid [P]) in network-input coords.
+
+    Like the reference's ``transform_proposals`` (d2 detection_utils), scaled
+    boxes are clipped to the resized image and degenerate (empty after clip)
+    boxes are marked invalid.  Clipping also preserves the Pallas ROIAlign
+    backward kernel's row-window assumption (bin_h <= H/pool), which
+    out-of-image boxes would silently break.
+    """
     boxes = np.zeros((capacity, 4), np.float32)
     valid = np.zeros((capacity,), bool)
     props = rec.get("proposals")
     if props is not None and len(props):
         n = min(len(props), capacity)
-        boxes[:n] = props[:n] * scale
-        valid[:n] = True
+        b = props[:n] * scale
+        if new_w is not None:
+            b[:, 0::2] = np.clip(b[:, 0::2], 0.0, float(new_w))
+        if new_h is not None:
+            b[:, 1::2] = np.clip(b[:, 1::2], 0.0, float(new_h))
+        boxes[:n] = b
+        valid[:n] = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
     return boxes, valid

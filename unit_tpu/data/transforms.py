@@ -180,7 +180,9 @@ def prepare_detection_record(
     if tcfg.proposal_capacity > 0:
         from .proposals import pad_record_proposals
 
-        p_boxes, p_valid = pad_record_proposals(record, scale, tcfg.proposal_capacity)
+        p_boxes, p_valid = pad_record_proposals(
+            record, scale, tcfg.proposal_capacity, new_w=new_w, new_h=new_h
+        )
         if flipped:
             x1p = new_w - p_boxes[:, 2]
             x2p = new_w - p_boxes[:, 0]

@@ -235,6 +235,16 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
     use_test_proposals = bool(
         cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TEST
     )
+    if use_tta and use_test_proposals:
+        # predict_tta regenerates proposals from the RPN, but precomputed-
+        # proposal (dock-style) models never train one — TTA would silently
+        # score with a random RPN and produce garbage metrics
+        raise ValueError(
+            "TEST.AUG.ENABLED is incompatible with MODEL.LOAD_PROPOSALS + "
+            "DATASETS.PROPOSAL_FILES_TEST: TTA inference generates proposals "
+            "from the (untrained) RPN instead of the precomputed files. "
+            "Disable TEST.AUG for precomputed-proposal models."
+        )
 
     predict = (
         make_predict_fn(model, with_proposals=True)
@@ -386,7 +396,10 @@ def run(args):
             cfg.TEST.MIN_EVAL_PERIOD,
         ),
     ]
-    trainer.train(cfg.SOLVER.MAX_ITER, hooks=hooks)
+    try:
+        trainer.train(cfg.SOLVER.MAX_ITER, hooks=hooks)
+    finally:
+        trainer.close()
     results = eval_fn(trainer.state)
     print_csv_format(results)
     return results

@@ -129,7 +129,15 @@ def make_predict_fn(model: WSRCNN, mesh=None, with_proposals: bool = False) -> C
         return jax.jit(predict_fn)
     repl = mesh_lib.replicated(mesh)
     data = mesh_lib.data_sharded(mesh)
-    return jax.jit(predict_fn, in_shardings=(repl, data, data), out_shardings=data)
+    # in_shardings must match the predict_fn arity: params replicated, every
+    # batch array (images, sizes, and — for the dock path — proposal boxes and
+    # validity masks) sharded on the leading batch axis
+    n_batch_args = 4 if with_proposals else 2
+    return jax.jit(
+        predict_fn,
+        in_shardings=(repl,) + (data,) * n_batch_args,
+        out_shardings=data,
+    )
 
 
 class TrainerBase:
@@ -226,6 +234,12 @@ class TrainerBase:
             for hook in hooks:
                 hook(self._host_step, metrics, self)
         return self.state
+
+    def close(self):
+        """Stop the prefetch threads behind the data iterators (if any)."""
+        for it in (self.strong_iter, self.weak_iter, self.meta_iter):
+            if it is not None and hasattr(it, "close"):
+                it.close()
 
 
 class TrainerNoMeta(TrainerBase):

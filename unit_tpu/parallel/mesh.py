@@ -76,12 +76,21 @@ def spatial_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch_spatial(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a batch dict with 4-D image arrays split (batch, height) over
-    the (data, spatial) mesh and every other array split on batch only."""
+    """Device-put a batch dict with the image array split (batch, height) over
+    the (data, spatial) mesh and every other array split on batch only.
+
+    Spatial sharding is keyed on the batch key name ``image`` — NOT on rank:
+    other 4-D arrays (e.g. gt_masks [B, G, m, m]) carry non-spatial dims in
+    position 1 and must stay batch-sharded."""
     img_sh = spatial_sharded(mesh)
     row_sh = NamedSharding(mesh, P(DATA_AXIS))
-    def put(x):
+
+    def put(path, x):
         if not hasattr(x, "ndim") or x.ndim == 0:
             return x
-        return jax.device_put(x, img_sh if x.ndim == 4 else row_sh)
-    return jax.tree.map(put, batch)
+        is_image = x.ndim == 4 and any(
+            getattr(p, "key", None) == "image" for p in path
+        )
+        return jax.device_put(x, img_sh if is_image else row_sh)
+
+    return jax.tree_util.tree_map_with_path(put, batch)
