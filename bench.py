@@ -33,12 +33,15 @@ import optax
 REFERENCE_IMG_PER_SEC_PER_CHIP = 2.5  # documented assumption, BASELINE.md
 
 
-def main():
+def _measure(depth: int) -> float:
     from __graft_entry__ import _bench_optimizer, _model_config
     from unit_tpu.engine import create_train_state, make_train_step
     from unit_tpu.models import WSRCNN
+    import dataclasses
 
     mc = _model_config(tiny=False)
+    if depth != mc.depth:
+        mc = dataclasses.replace(mc, depth=depth)
     model = WSRCNN(mc=mc)
     # tiny lr: keeps the full forward+backward+update graph (lr=0 would let XLA
     # fold away the whole backward pass) without diverging on synthetic data.
@@ -84,14 +87,33 @@ def main():
     dt = time.perf_counter() - t0
 
     imgs_per_step = 2 * b  # strong + weak images both run the backbone
-    value = imgs_per_step * n_iter / dt
+    return imgs_per_step * n_iter / dt
+
+
+def main():
+    # R-50-C4 series (rounds 1-2 continuity)
+    v50 = _measure(50)
     print(
         json.dumps(
             {
                 "metric": "train_images_per_sec_per_chip",
-                "value": round(value, 3),
+                "value": round(v50, 3),
                 "unit": "img/s",
-                "vs_baseline": round(value / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+                "vs_baseline": round(v50 / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+    # flagship R-101-C4 (the config BASELINE.json's metric names:
+    # configs/VOC/VOC-RCNN-101-C4-split1.yaml) — LAST line is the headline
+    v101 = _measure(101)
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip_r101_c4",
+                "value": round(v101, 3),
+                "unit": "img/s",
+                "vs_baseline": round(v101 / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+                "r50_c4_value": round(v50, 3),
             }
         )
     )

@@ -75,7 +75,8 @@ bool DecodeJpeg(const char* path, std::vector<unsigned char>* out, int* h,
 // Bilinear resize RGB uint8 -> BGR float32, written into a (canvas_h, canvas_w,
 // 3) zero-padded canvas.
 void ResizeToCanvas(const unsigned char* src, int sh, int sw, float* canvas,
-                    int canvas_h, int canvas_w, int nh, int nw) {
+                    int canvas_h, int canvas_w, int nh, int nw,
+                    bool flip = false) {
   const float sy = static_cast<float>(sh) / nh;
   const float sx = static_cast<float>(sw) / nw;
   for (int y = 0; y < nh; ++y) {
@@ -95,11 +96,14 @@ void ResizeToCanvas(const unsigned char* src, int sh, int sw, float* canvas,
       x0 = std::min(x0, sw - 1);
       int x1 = std::min(x0 + 1, sw - 1);
       float wx = fx - x0;
+      // horizontal flip within the resized region (matches the Python
+      // img[:, ::-1] applied after resize, before the canvas pad)
+      const int dx = flip ? (nw - 1 - x) : x;
       for (int c = 0; c < 3; ++c) {
         float top = r0[x0 * 3 + c] * (1 - wx) + r0[x1 * 3 + c] * wx;
         float bot = r1[x0 * 3 + c] * (1 - wx) + r1[x1 * 3 + c] * wx;
         // RGB -> BGR channel swap (INPUT.FORMAT=BGR, caffe-style means)
-        dst_row[x * 3 + (2 - c)] = top * (1 - wy) + bot * wy;
+        dst_row[dx * 3 + (2 - c)] = top * (1 - wy) + bot * wy;
       }
     }
   }
@@ -112,6 +116,38 @@ extern "C" {
 int decode_image_size(const char* path, int* h, int* w) {
   std::vector<unsigned char> buf;
   return DecodeJpeg(path, &buf, h, w) ? 0 : 1;
+}
+
+// Single-image full prep (train-path variant of prepare_batch): per-image
+// min_size (the train pipeline samples one per record) and an optional
+// horizontal flip, all inside one GIL-free call.
+// out_image: [canvas_h, canvas_w, 3] float32; out_size: [2]; out_scale: [1].
+int prepare_image(const char* path, int min_size, int max_size, int canvas_h,
+                  int canvas_w, int flip, float* out_image, float* out_size,
+                  float* out_scale) {
+  const size_t img_elems = static_cast<size_t>(canvas_h) * canvas_w * 3;
+  std::memset(out_image, 0, img_elems * sizeof(float));
+  std::vector<unsigned char> rgb;
+  int h = 0, w = 0;
+  if (!DecodeJpeg(path, &rgb, &h, &w)) {
+    out_size[0] = out_size[1] = 0;
+    out_scale[0] = 1.0f;
+    return 1;
+  }
+  float scale = static_cast<float>(min_size) / std::min(h, w);
+  if (std::max(h, w) * scale > max_size) {
+    scale = static_cast<float>(max_size) / std::max(h, w);
+  }
+  int nh = std::min(static_cast<int>(std::lround(h * scale)), canvas_h);
+  int nw = std::min(static_cast<int>(std::lround(w * scale)), canvas_w);
+  nh = std::max(nh, 1);
+  nw = std::max(nw, 1);
+  ResizeToCanvas(rgb.data(), h, w, out_image, canvas_h, canvas_w, nh, nw,
+                 flip != 0);
+  out_size[0] = static_cast<float>(nh);
+  out_size[1] = static_cast<float>(nw);
+  out_scale[0] = scale;
+  return 0;
 }
 
 // out_images: [n, canvas_h, canvas_w, 3] float32 zeroed by caller or here.

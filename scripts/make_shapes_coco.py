@@ -152,6 +152,26 @@ def write_split(root, split, n_images, rng, size):
     return len(images), len(annotations)
 
 
+def write_appearance_embeddings(path: str):
+    """[80, 300] class embeddings that ENCODE the synthetic appearance.
+
+    The real GloVe table keys on natural-language class names, which have no
+    relation to the synthetic (shape, hue) appearance — for shapes-COCO the
+    lingual term of the base->novel similarity is therefore pure noise (the
+    round-2 zero-shot novel_mean ~6 diagnosis, BASELINE.md).  These
+    embeddings give the lingual term real signal: shape one-hot + a hue
+    circle, so lingual similarity ~ appearance similarity.
+    """
+    emb = np.zeros((80, 300), np.float32)
+    for i in range(80):
+        emb[i, i % 5] = 1.0                       # shape one-hot
+        theta = 2.0 * np.pi * (i // 5) / 16.0     # hue circle
+        emb[i, 5] = np.cos(theta)
+        emb[i, 6] = np.sin(theta)
+    np.savez(path, embeddings=emb)
+    return path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
@@ -159,7 +179,16 @@ def main():
     ap.add_argument("--val-images", type=int, default=60)
     ap.add_argument("--size", type=int, default=320)
     ap.add_argument("--seed", type=int, default=23)
+    ap.add_argument(
+        "--emit-embeddings", default=None, metavar="NPZ",
+        help="also write appearance-aligned class embeddings (pass the file "
+             "to MODEL.ROI_HEADS.EMBEDDING_PATH to give the lingual "
+             "similarity term real signal on synthetic classes)",
+    )
     args = ap.parse_args()
+    if args.emit_embeddings:
+        write_appearance_embeddings(args.emit_embeddings)
+        print(f"appearance embeddings -> {args.emit_embeddings}")
 
     rng = np.random.RandomState(args.seed)
     nt, at = write_split(args.root, "train2017", args.train_images, rng, args.size)

@@ -8,6 +8,7 @@ import pytest
 from unit_tpu.models.backbones import VGG16, VGGCNNF, InceptionResNetV2, LocalResponseNorm
 
 
+@pytest.mark.slow
 def test_vgg16_stride16():
     m = VGG16()
     x = jnp.zeros((1, 64, 64, 3))

@@ -10,11 +10,13 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from unit_tpu.models import WSRCNN
 from tests.test_model_smoke import tiny_config, _strong_batch, _weak_batch
 
 
+@pytest.mark.slow
 def test_bf16_train_losses_finite():
     mc = dataclasses.replace(tiny_config(), compute_dtype="bfloat16")
     model = WSRCNN(mc=mc)
@@ -35,6 +37,7 @@ def test_bf16_train_losses_finite():
         assert v.dtype == jnp.float32, (k, v.dtype)
 
 
+@pytest.mark.slow
 def test_bf16_predict_runs():
     mc = dataclasses.replace(tiny_config(), compute_dtype="bfloat16")
     model = WSRCNN(mc=mc)

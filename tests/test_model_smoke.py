@@ -98,6 +98,7 @@ def test_train_losses_finite(model_and_vars):
         assert np.isfinite(float(v)), f"{k} not finite"
 
 
+@pytest.mark.slow
 def test_train_losses_grads_flow(model_and_vars):
     model, variables = model_and_vars
 
@@ -119,6 +120,7 @@ def test_train_losses_grads_flow(model_and_vars):
     # frozen BN stats always get zero-like grads path (masked later by solver)
 
 
+@pytest.mark.slow
 def test_predict_shapes(model_and_vars):
     model, variables = model_and_vars
     imgs = jnp.asarray(np.random.RandomState(5).rand(2, 64, 64, 3).astype(np.float32))

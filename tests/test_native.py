@@ -79,3 +79,60 @@ def test_padding_region_zero(native_lib, jpeg_files):
         assert np.all(images[i, nh:, :] == 0)
         assert np.all(images[i, :, nw:] == 0)
         assert images[i, :nh, :nw].max() > 0
+
+
+def test_prepare_image_matches_python_flip(native_lib, jpeg_files):
+    """prepare_image (train-path single-image prep incl. flip) matches the
+    Python decode+resize+flip+canvas pipeline."""
+    from PIL import Image
+    from unit_tpu.data.transforms import resize_image, resize_shortest_edge
+
+    path = jpeg_files[0]
+    with Image.open(path) as im:
+        rgb = np.asarray(im.convert("RGB"), dtype=np.float32)
+    bgr = rgb[:, :, ::-1]
+    h, w = bgr.shape[:2]
+    for flip in (False, True):
+        img, (nh, nw), scale = native_mod.prepare_image_native(
+            path, 96, 160, (128, 192), flip=flip
+        )
+        eh, ew, escale = resize_shortest_edge(h, w, 96, 160)
+        assert (nh, nw) == (min(eh, 128), min(ew, 192))
+        assert abs(scale - escale) < 1e-6
+        ref = resize_image(bgr, nh, nw)
+        if flip:
+            ref = ref[:, ::-1]
+        np.testing.assert_allclose(img[:nh, :nw], ref, atol=1.0)
+        # padding region stays zero
+        assert np.all(img[nh:] == 0) and np.all(img[:, nw:] == 0)
+
+
+def test_stream_loader_uses_native_path(native_lib, jpeg_files, tmp_path):
+    """A StreamLoader over real JPEG records takes the native prep path and
+    produces the same batch structure as the Python path."""
+    from PIL import Image
+    from unit_tpu.data.loader import StreamLoader, _native_eligible
+    from unit_tpu.data.transforms import TransformConfig
+
+    recs = []
+    for i, p in enumerate(jpeg_files):
+        with Image.open(p) as im:
+            w, h = im.size
+        recs.append({
+            "image_id": f"im{i}", "file_name": p, "height": h, "width": w,
+            "annotations": [
+                {"category_id": 1, "bbox": [5.0, 5.0, 40.0, 40.0]},
+            ],
+        })
+    assert _native_eligible(recs[0])
+    tcfg = TransformConfig(min_sizes=(96,), max_size=160, canvas=(128, 192),
+                           max_gt=5, num_classes=3)
+    loader = StreamLoader(recs, tcfg, batch_size=2,
+                          keys=("image", "image_size", "gt_boxes", "gt_valid",
+                                "labels"), seed=0)
+    batch = next(iter(loader))
+    assert batch["image"].shape[0] == 2 and batch["image"].dtype == np.float32
+    assert batch["gt_valid"].any() and np.isfinite(batch["image"]).all()
+    # GT got scaled into network-input coordinates
+    valid_boxes = batch["gt_boxes"][batch["gt_valid"]]
+    assert (valid_boxes[:, 2] <= 192).all() and (valid_boxes >= 0).all()

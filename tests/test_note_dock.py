@@ -84,6 +84,7 @@ def test_note_and_dock_registration(coco_root):
     assert "train2017" in DatasetCatalog.get("coco_train_2017")[0]["file_name"]
 
 
+@pytest.mark.slow
 def test_inception_head_shapes():
     head = BOX_HEAD_REGISTRY.get("InceptionResNetHead")()
     x = jnp.zeros((3, 14, 14, 1088))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from unit_tpu.ops.kmeans import kmeans_1d, top_cluster_mask
 from unit_tpu.models import pcl as P
@@ -42,6 +43,7 @@ def test_mine_pcl_clusters_basic(rng):
     assert (np.asarray(clusters.scores)[v] >= 0).all()
 
 
+@pytest.mark.slow
 def test_pcl_loss_matches_manual_formula(rng):
     """Loss equals -(sum_k w_k log(mean_i p_{i,c_k}) + sum_bg w_i log p_{i,bg})/P
     and its gradient matches PCLFunction.backward's analytic form."""
@@ -85,6 +87,7 @@ def test_pcl_loss_matches_manual_formula(rng):
     assert float(jnp.abs(g).sum()) > 0
 
 
+@pytest.mark.slow
 def test_pcl_detector_losses_finite(rng):
     b, p, c = 2, 20, 6
     streams = {

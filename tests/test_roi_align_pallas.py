@@ -58,6 +58,7 @@ def test_pallas_grad_flows(rng):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_batched_kernel_matches_per_image():
     """grid=(B,N) batched kernel == per-image kernel, fwd and bwd."""
     from unit_tpu.ops.roi_align_pallas import (
@@ -96,6 +97,7 @@ def test_batched_kernel_matches_per_image():
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gs), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bwd_split_accumulator_matches(monkeypatch):
     """Split-width VMEM accumulator (forced splits) == XLA VJP."""
     from unit_tpu.ops import roi_align_pallas_bwd as bwd_mod

@@ -52,6 +52,7 @@ def test_meta_train_step_with_rank_loss():
         assert k in losses and np.isfinite(float(losses[k])), k
 
 
+@pytest.mark.slow
 def test_matrix_head_nonstandard_feature_dim():
     """sim_matrix sizes itself from res2_out_channels (no 2048 hardcode)."""
     head = VisualAttentionHead(

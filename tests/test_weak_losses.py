@@ -2,6 +2,7 @@
 reference semantics (weak_detector_fast_rcnn.py:189-255,353-408)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from unit_tpu.models import weak_losses as W
@@ -113,6 +114,7 @@ def test_pseudo_gt_mining_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(t_weights), want_weights, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_weak_losses_finite(rng):
     b, p, c = 2, 24, 20
     streams = {

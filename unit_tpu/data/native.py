@@ -44,13 +44,51 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
             ]
+            if hasattr(lib, "prepare_image"):
+                lib.prepare_image.restype = ctypes.c_int
+                lib.prepare_image.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                ]
             _LIB = lib
             return lib
     return None
 
 
 def available() -> bool:
-    return load_library() is not None
+    lib = load_library()
+    return lib is not None and hasattr(lib, "prepare_image")
+
+
+def prepare_image_native(
+    path: str,
+    min_size: int,
+    max_size: int,
+    canvas: Tuple[int, int],
+    flip: bool = False,
+):
+    """Decode+resize(+flip)+canvas-fill ONE image fully in C (GIL released).
+
+    Returns (image [H, W, 3] BGR float32, (new_h, new_w), scale); raises
+    RuntimeError on decode failure (caller falls back to the PIL path)."""
+    lib = load_library()
+    assert lib is not None and hasattr(lib, "prepare_image")
+    ch, cw = canvas
+    image = np.zeros((ch, cw, 3), np.float32)
+    size = np.zeros((2,), np.float32)
+    scale = np.zeros((1,), np.float32)
+    rc = lib.prepare_image(
+        path.encode(), min_size, max_size, ch, cw, int(flip),
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc:
+        raise RuntimeError(f"native decode failed for {path}")
+    return image, (int(size[0]), int(size[1])), float(scale[0])
 
 
 def prepare_batch_native(

@@ -98,26 +98,44 @@ def prepare_detection_record(
     rng: np.random.RandomState,
     image: np.ndarray | None = None,
     training: bool = True,
+    preprocessed: tuple | None = None,
 ) -> dict:
     """record dict -> fixed-shape arrays for one image.
 
     Returns {image [Hc, Wc, 3], image_size [2], gt_boxes [G, 4], gt_classes [G],
     gt_valid [G], labels [C], scale}.
+
+    ``preprocessed=(canvas, new_h, new_w, scale[, flipped])``: the
+    decode+resize(+flip)+canvas work was already done (by the native C loader,
+    data/native.py); only the annotation-side transform runs here, with the GT
+    flip mirrored when the image was pre-flipped.
     """
-    if image is None:
-        image = load_image_bgr(record["file_name"])
-    h, w = image.shape[:2]
-    min_size = tcfg.min_sizes[rng.randint(len(tcfg.min_sizes))] if training else tcfg.min_sizes[0]
-    new_h, new_w, scale = resize_shortest_edge(h, w, min_size, tcfg.max_size)
-    ch, cw = tcfg.canvas
-    # aspect-ratio bucketing (d2 AspectRatioGroupedDataset equivalent): portrait
-    # images use the transposed canvas so tall content is never cropped
-    if h > w:
-        ch, cw = max(ch, cw), min(ch, cw)
+    if preprocessed is not None:
+        canvas, new_h, new_w, scale = preprocessed[:4]
+        flipped = bool(preprocessed[4]) if len(preprocessed) > 4 else False
+        h, w = int(record["height"]), int(record["width"])
     else:
-        ch, cw = min(ch, cw), max(ch, cw)
-    new_h, new_w = min(new_h, ch), min(new_w, cw)
-    img = resize_image(image, new_h, new_w)
+        if image is None:
+            image = load_image_bgr(record["file_name"])
+        h, w = image.shape[:2]
+        min_size = tcfg.min_sizes[rng.randint(len(tcfg.min_sizes))] if training else tcfg.min_sizes[0]
+        new_h, new_w, scale = resize_shortest_edge(h, w, min_size, tcfg.max_size)
+        ch, cw = tcfg.canvas
+        # aspect-ratio bucketing (d2 AspectRatioGroupedDataset equivalent): portrait
+        # images use the transposed canvas so tall content is never cropped
+        if h > w:
+            ch, cw = max(ch, cw), min(ch, cw)
+        else:
+            ch, cw = min(ch, cw), max(ch, cw)
+        new_h, new_w = min(new_h, ch), min(new_w, cw)
+        img = resize_image(image, new_h, new_w)
+
+        flipped = training and tcfg.flip and rng.rand() < 0.5
+        if flipped:
+            img = img[:, ::-1]
+
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        canvas[:new_h, :new_w] = img[:new_h, :new_w]
 
     boxes = np.asarray(
         [a["bbox"] for a in record.get("annotations", [])], np.float32
@@ -125,17 +143,10 @@ def prepare_detection_record(
     classes = np.asarray(
         [a["category_id"] for a in record.get("annotations", [])], np.int64
     )
-
-    flipped = training and tcfg.flip and rng.rand() < 0.5
-    if flipped:
-        img = img[:, ::-1]
-        if len(boxes):
-            x1 = new_w - boxes[:, 2]
-            x2 = new_w - boxes[:, 0]
-            boxes[:, 0], boxes[:, 2] = x1.copy(), x2.copy()
-
-    canvas = np.zeros((ch, cw, 3), np.float32)
-    canvas[:new_h, :new_w] = img[:new_h, :new_w]
+    if flipped and len(boxes):
+        x1 = new_w - boxes[:, 2]
+        x2 = new_w - boxes[:, 0]
+        boxes[:, 0], boxes[:, 2] = x1.copy(), x2.copy()
 
     g = tcfg.max_gt
     gt_boxes = np.zeros((g, 4), np.float32)

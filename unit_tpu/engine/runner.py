@@ -276,7 +276,13 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
         all_results = {}
         for name in cfg.DATASETS.TEST:
             evaluator = get_evaluator(cfg, name)
-            for rec in DatasetCatalog.get(name):
+            # multi-process: feed only THIS host's record slice — the test
+            # loaders iterate the same slice, and the cross-host evaluator
+            # merge (evaluation/evaluator.py) reassembles the full dataset;
+            # full-GT-per-host would double-count after the merge
+            from ..data.loader import _host_shard
+
+            for rec in _host_shard(DatasetCatalog.get(name)):
                 evaluator.process_gt_record(rec)
             params = state.params if hasattr(state, "params") else state
             if use_tta:

@@ -23,6 +23,7 @@ dominant ROI cost in the train step; this kernel mirrors the forward's design:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -279,6 +280,177 @@ def _bwd_kernel_vmem(rois_ref, g_ref, dfeat_ref, acc_ref, sem, *,
         wr.wait()
 
 
+def _bwd_kernel_vmem_listed(rois_ref, idx_ref, counts_ref, g_hbm, dfeat_ref,
+                            acc_ref, g_buf, sem, out_sem, *,
+                            output_size: int, spatial_scale: float,
+                            sampling_ratio: int, height: int, width: int,
+                            half_width: int, num_rois: int, num_splits: int,
+                            stochastic: bool = False):
+    """Listed variant of the VMEM-accumulator backward (round-3): grid is
+    (B, splits) only; the ROIs touching each width slice arrive as a
+    host-compacted index list (scalar prefetch) and their gradient blocks are
+    manually double-buffered from HBM.  The (B, splits, N) grid re-fetched
+    every ROI's 400 KB g block once per slice (~4x redundant HBM traffic) and
+    paid ~4096 grid steps; here each block moves at most once per slice it
+    actually touches, overlapped with the previous ROI's compute."""
+    p = output_size
+    s = sampling_ratio
+    b = pl.program_id(0)
+    hsplit = pl.program_id(1)
+    hoff = hsplit * half_width
+    base = (b * num_splits + hsplit) * num_rois
+    count = counts_ref[b * num_splits + hsplit]
+    if stochastic:
+        pltpu.prng_seed(hsplit + num_splits * b)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def fetch(i, slot):
+        n = idx_ref[base + i]
+        return pltpu.make_async_copy(g_hbm.at[b, n], g_buf.at[slot], sem.at[slot])
+
+    @pl.when(count > 0)
+    def _prime():
+        fetch(0, 0).start()
+
+    import math as _math
+
+    wrows = min(height, int(_math.ceil((height / p) * (s - 1) / max(s, 1))) + 2)
+    xw = 16
+
+    def roi_body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < count)
+        def _next():
+            fetch(i + 1, 1 - slot).start()
+
+        fetch(i, slot).wait()
+        n = idx_ref[base + i]
+        x1, y1, x2, y2 = _roi_coords(rois_ref, b, n, num_rois, spatial_scale)
+        bin_h = (y2 - y1) / p
+        bin_w = (x2 - x1) / p
+        x_sup_lo = jnp.floor(jnp.minimum(x1, x2)) - 1.0
+        x_sup_hi = jnp.ceil(jnp.maximum(x1, x2)) + 1.0
+
+        def _accum(ncols, col0):
+            ks = jax.lax.broadcasted_iota(jnp.int32, (p * s, 1), 0)[:, 0].astype(
+                jnp.float32
+            )
+            frac = ((ks % s) + 0.5) / s
+            bins = jnp.floor(ks / s)
+            xs = x1 + (bins + frac) * bin_w
+            x_oob = (xs < -1.0) | (xs > width)
+            xc = jnp.clip(xs, 0.0, width - 1)
+            x0 = jnp.floor(xc)
+            lx = xc - x0
+            cols = jax.lax.broadcasted_iota(jnp.int32, (p * s, ncols), 1) + col0
+            cols = cols.astype(jnp.float32)
+            x0b = x0[:, None]
+            x1b = jnp.minimum(x0 + 1, width - 1)[:, None]
+            wx = jnp.where(cols == x0b, (1.0 - lx)[:, None], 0.0)
+            wx = wx + jnp.where(cols == x1b, lx[:, None], 0.0)
+            wx = jnp.where(x_oob[:, None], 0.0, wx)
+            wx_bins = wx.reshape(p, s, ncols).sum(axis=1) / (s * s)
+
+            # the g blocks arrive with pw padded to the sublane tile (ppad);
+            # zero weight rows make the pad rows contribute nothing
+            ppad = g_buf.shape[2]
+            if ppad != p:
+                wx_bins = jnp.pad(wx_bins, ((0, ppad - p), (0, 0)))
+
+            c = g_buf.shape[-1]
+            g_all = jnp.concatenate(
+                [g_buf[slot, ph].astype(jnp.float32) for ph in range(p)], axis=-1
+            )  # [ppad(pw), P_ph*C]
+            d_all = jax.lax.dot_general(
+                wx_bins, g_all, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16 if stochastic else jnp.float32)
+
+            crel = pl.multiple_of(col0 - hoff, 8)
+            for ph in range(p):
+                d_row = d_all[:, ph * c:(ph + 1) * c].astype(jnp.float32)
+                base_row = None
+                offs, los, oobs = [], [], []
+                for iy in range(s):
+                    y = y1 + (ph + (iy + 0.5) / s) * bin_h
+                    y_oob = (y < -1.0) | (y > height)
+                    yc = jnp.clip(y, 0.0, height - 1)
+                    y0 = jnp.floor(yc)
+                    ly = yc - y0
+                    y0i = jnp.minimum(y0.astype(jnp.int32), height - 2)
+                    y0i = jnp.maximum(y0i, 0)
+                    ly = jnp.where(y0.astype(jnp.int32) > y0i, 1.0, ly)
+                    base_row = y0i if base_row is None else jnp.minimum(base_row, y0i)
+                    offs.append(y0i)
+                    los.append(ly)
+                    oobs.append(y_oob)
+                base_row = jnp.clip(base_row, 0, height - wrows)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (wrows, 1), 0)[:, 0]
+                w4 = jnp.zeros((wrows,), jnp.float32)
+                for iy in range(s):
+                    o = offs[iy] - base_row
+                    li = jnp.where(oobs[iy], 0.0, los[iy])
+                    top = jnp.where(oobs[iy], 0.0, 1.0 - los[iy])
+                    w4 = w4 + jnp.where(rows == o, top, 0.0) + jnp.where(
+                        rows == o + 1, li, 0.0
+                    )
+                upd = d_row[None] * w4[:, None, None]
+                new = acc_ref[
+                    pl.ds(base_row, wrows), pl.ds(crel, ncols)
+                ].astype(jnp.float32) + upd
+                if stochastic:
+                    bits = jax.lax.bitcast_convert_type(
+                        pltpu.prng_random_bits(new.shape), jnp.uint32
+                    )
+                    new = pltpu.stochastic_round(
+                        new, bits, target_dtype=jnp.bfloat16
+                    )
+                acc_ref[pl.ds(base_row, wrows), pl.ds(crel, ncols)] = new.astype(
+                    acc_ref.dtype
+                )
+
+        narrow = (x_sup_hi - x_sup_lo) <= (xw - 8)
+        if xw < half_width:
+            @pl.when(narrow)
+            def _roi_narrow():
+                col0 = jnp.floor(x_sup_lo / 8.0).astype(jnp.int32) * 8
+                col0 = jnp.clip(col0, hoff, hoff + half_width - xw)
+                _accum(xw, col0)
+
+            @pl.when(~narrow)
+            def _roi_full():
+                _accum(half_width, hoff)
+        else:
+            _accum(half_width, hoff)
+        return 0
+
+    jax.lax.fori_loop(0, count, roi_body, 0)
+
+    wr = pltpu.make_async_copy(
+        acc_ref, dfeat_ref.at[b, :, pl.ds(hoff, half_width)], out_sem
+    )
+    wr.start()
+    wr.wait()
+
+
+def _slice_roi_lists(rois, spatial_scale, half_width, splits):
+    """Per-(image, slice) compacted lists of ROI indices whose x-support
+    touches the slice, plus counts — plain XLA, O(B*S*N)."""
+    sc = spatial_scale
+    x1 = rois[..., 0] * sc - 0.5
+    x2 = rois[..., 2] * sc - 0.5
+    x_lo = jnp.floor(jnp.minimum(x1, x2)) - 1.0   # [B, N]
+    x_hi = jnp.ceil(jnp.maximum(x1, x2)) + 1.0
+    lo_b = (jnp.arange(splits) * half_width)[None, :, None].astype(jnp.float32)
+    overlap = (x_hi[:, None, :] >= lo_b) & (x_lo[:, None, :] < lo_b + half_width)
+    order = jnp.argsort(~overlap, axis=-1, stable=True).astype(jnp.int32)
+    counts = overlap.sum(-1).astype(jnp.int32)
+    return order.reshape(-1), counts.reshape(-1)
+
+
 # budget for the VMEM gradient accumulator slice (chip VMEM ~16 MiB, leave
 # room for the double-buffered incoming-gradient blocks + staged matmuls)
 _VMEM_ACC_BUDGET_BYTES = 6 * 1024 * 1024
@@ -320,6 +492,44 @@ def roi_align_backward_pallas_batched(
     acc_dtype = jnp.bfloat16 if stochastic_bf16 else jnp.float32
     itemsize = 2 if stochastic_bf16 else 4
     splits, wp_eff = _pick_splits(h, wp, c, itemsize)
+    use_listed = os.environ.get("UNIT_TPU_BWD_LISTED", "1") != "0"
+    if splits and use_listed:
+        wp = wp_eff
+        half_width = wp // splits
+        idx, counts = _slice_roi_lists(rois, spatial_scale, half_width, splits)
+        # manual HBM->VMEM block DMA needs the sublane (pw) dim aligned to the
+        # tile; pad pw and give the pad rows zero interpolation weight
+        sub = 16 if g.dtype == jnp.bfloat16 else 8
+        ppad = ((p + sub - 1) // sub) * sub
+        g_padded = (
+            jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, ppad - p), (0, 0)))
+            if ppad != p else g
+        )
+        kernel = functools.partial(
+            _bwd_kernel_vmem_listed, output_size=p, spatial_scale=spatial_scale,
+            sampling_ratio=sampling_ratio, height=h, width=w,
+            half_width=half_width, num_rois=n, num_splits=splits,
+            stochastic=stochastic_bf16,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(bsz, splits),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # g stays in HBM
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((h, half_width, c), acc_dtype),
+                pltpu.VMEM((2, p, ppad, c), g.dtype),  # double-buffered g blocks
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bsz, h, wp, c), acc_dtype),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(rois.reshape(-1), idx, counts, g_padded)
+        return out[:, :, :w, :c0]
     if splits:
         wp = wp_eff
         half_width = wp // splits

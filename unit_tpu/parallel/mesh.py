@@ -37,12 +37,24 @@ def data_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch with the leading axis split across the data mesh."""
+    """Device-put a host batch with the leading axis split across the data mesh.
+
+    Multi-process: each process holds only ITS slice of the global batch (the
+    loaders host-shard records, loader.py ``_host_shard``); the global array is
+    assembled from the per-process local data — the TPU-native replacement for
+    the reference's per-rank DistributedSampler + DDP batch split
+    (/root/reference/data/build.py:110-122)."""
     sh = data_sharded(mesh)
-    return jax.tree.map(
-        lambda x: jax.device_put(x, sh) if hasattr(x, "ndim") and x.ndim > 0 else x,
-        batch,
-    )
+    multiproc = jax.process_count() > 1
+
+    def put(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
