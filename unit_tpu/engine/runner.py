@@ -106,6 +106,19 @@ def setup(args):
     plat = os.environ.get("UNIT_TPU_PLATFORM", "")
     if plat:
         jax.config.update("jax_platforms", plat)
+    # persistent compile cache for the CLI runs (same as bench.py): repeat
+    # train/eval invocations skip the multi-minute remote compiles
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), ".jax_cache",
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     cfg = get_cfg()
     if args.config_file:
         cfg.merge_from_file(args.config_file)

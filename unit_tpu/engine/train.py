@@ -32,7 +32,10 @@ class TrainState:
 def create_train_state(model: WSRCNN, optimizer, rng, sample_shape=(1, 64, 64, 3)) -> TrainState:
     imgs = jnp.zeros(sample_shape, jnp.float32)
     sizes = jnp.asarray([[sample_shape[1], sample_shape[2]]] * sample_shape[0], jnp.float32)
-    variables = model.init(rng, imgs, sizes)
+    # jit the init: eager init dispatches thousands of tiny ops one-by-one,
+    # which on a remote-attached TPU pays tunnel latency per op (measured
+    # tens of minutes for R-101); one compiled program is also cacheable
+    variables = jax.jit(model.init)(rng, imgs, sizes)
     params = variables["params"]
     return TrainState(
         params=params,
