@@ -190,6 +190,9 @@ def main():
         write_appearance_embeddings(args.emit_embeddings)
         print(f"appearance embeddings -> {args.emit_embeddings}")
 
+    if args.train_images <= 0 and args.val_images <= 0:
+        return  # embeddings-only invocation: never clobber existing datasets
+
     rng = np.random.RandomState(args.seed)
     nt, at = write_split(args.root, "train2017", args.train_images, rng, args.size)
     nv, av = write_split(args.root, "val2017", args.val_images, rng, args.size)

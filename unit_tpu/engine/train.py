@@ -22,6 +22,18 @@ from ..models.meta_arch import ModelConfig, WSRCNN
 from ..parallel import mesh as mesh_lib
 
 
+def _compiler_options():
+    """Optional XLA compiler options for the train step (perf experiments):
+    UNIT_TPU_COMPILER_OPTIONS='{"xla_tpu_scoped_vmem_limit_kib": "32768"}'.
+    Local XLA_FLAGS cannot carry TPU-only flags here (the CPU-client parser
+    rejects them before the remote compile service ever sees them)."""
+    import json
+    import os
+
+    s = os.environ.get("UNIT_TPU_COMPILER_OPTIONS", "")
+    return json.loads(s) if s else None
+
+
 @chex.dataclass
 class TrainState:
     params: Any
@@ -85,7 +97,9 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(
+            step_fn, donate_argnums=(0,), compiler_options=_compiler_options()
+        )
     repl = mesh_lib.replicated(mesh)
     if mesh_lib.SPATIAL_AXIS in mesh.axis_names:
         # 2-D (data x spatial) mesh: batch arrays carry their own shardings
