@@ -61,6 +61,18 @@ def bench_roi_align():
     print(f"roi_align xla fwd     (1x{N} ROIs): "
           f"{_time(xla1, feats[0].astype(jnp.float32), rois[0]):8.2f} ms")
 
+    # small RPN-proposal-like boxes (30-180 px): exercises the narrow +
+    # single-RMW backward tiers that dominate the real train step
+    rois_s = np.zeros((B, N, 4), np.float32)
+    rois_s[..., :2] = rng.rand(B, N, 2) * 1100
+    rois_s[..., 2:] = rois_s[..., :2] + 30 + rng.rand(B, N, 2) * 150
+    rois_s = jnp.asarray(np.minimum(rois_s, 1330))
+    bwd_s = jax.jit(lambda f: jnp.sum(jax.grad(
+        lambda x: jnp.sum(roi_align_pallas_batched(x, rois_s, 14, 1 / 16.0, 2)
+                          .astype(jnp.float32))
+    )(f).astype(jnp.float32)))
+    print(f"roi_align pallas bwd small (2x{N}): {_time(bwd_s, feats):8.2f} ms")
+
 
 def bench_nms():
     import jax

@@ -151,3 +151,48 @@ def test_fwd_dma_fallback_matches(monkeypatch):
         roi_align_xla(feats[b], rois[b], 4, 1.0 / 16.0, 2) for b in range(2)
     ])
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_bwd_small_box_single_rmw_tier(monkeypatch):
+    """Small-box single-RMW backward tier (listed kernel, yw-row window) ==
+    XLA VJP, including boxes straddling slice/image edges."""
+    from unit_tpu.ops import roi_align_pallas_bwd as bwd_mod
+    from unit_tpu.ops.roi_align_pallas import roi_align_pallas_batched
+
+    # H=24 >= yw: the small-y tier compiles in; budget forces 2 width slices
+    monkeypatch.setattr(bwd_mod, "_VMEM_ACC_BUDGET_BYTES", 24 * 16 * 8 * 4)
+    assert bwd_mod._pick_splits(24, 32, 8) == (2, 32)
+
+    feats = jnp.asarray(
+        np.random.RandomState(7).rand(2, 24, 32, 8).astype(np.float32)
+    )
+    rois = jnp.asarray(
+        np.array([
+            [  # image 0: small boxes (single-RMW path) at various positions
+                [20.0, 30.0, 90.0, 100.0],     # ~4x4 feature cells
+                [400.0, 40.0, 470.0, 120.0],   # second slice
+                [4.0, 350.0, 70.0, 380.0],     # bottom edge
+                [240.0, 180.0, 300.0, 230.0],  # slice boundary
+            ],
+            [  # image 1: mix of small and tall (windowed path) boxes
+                [10.0, 10.0, 80.0, 370.0],     # tall -> per-row windowed RMW
+                [100.0, 0.0, 460.0, 90.0],     # wide -> full-slice path
+                [-30.0, -30.0, 40.0, 40.0],    # off-image corner
+                [200.0, 200.0, 210.0, 212.0],  # tiny
+            ],
+        ]).astype(np.float32)
+    )
+
+    def loss_p(f):
+        return jnp.sum(roi_align_pallas_batched(f, rois, 4, 1.0 / 16.0, 2) ** 2)
+
+    def loss_x(f):
+        return sum(
+            jnp.sum(roi_align_xla(f[b], rois[b], 4, 1.0 / 16.0, 2) ** 2)
+            for b in range(2)
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p)(feats)
+    gx = jax.grad(loss_x)(feats)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-4)

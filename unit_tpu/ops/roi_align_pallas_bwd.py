@@ -333,7 +333,7 @@ def _bwd_kernel_vmem_listed(rois_ref, idx_ref, counts_ref, g_hbm, dfeat_ref,
         x_sup_lo = jnp.floor(jnp.minimum(x1, x2)) - 1.0
         x_sup_hi = jnp.ceil(jnp.maximum(x1, x2)) + 1.0
 
-        def _accum(ncols, col0):
+        def _d_all(ncols, col0):
             ks = jax.lax.broadcasted_iota(jnp.int32, (p * s, 1), 0)[:, 0].astype(
                 jnp.float32
             )
@@ -363,12 +363,77 @@ def _bwd_kernel_vmem_listed(rois_ref, idx_ref, counts_ref, g_hbm, dfeat_ref,
             g_all = jnp.concatenate(
                 [g_buf[slot, ph].astype(jnp.float32) for ph in range(p)], axis=-1
             )  # [ppad(pw), P_ph*C]
-            d_all = jax.lax.dot_general(
+            return jax.lax.dot_general(
                 wx_bins, g_all, (((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             ).astype(jnp.bfloat16 if stochastic else jnp.float32)
 
+        def _y_taps(ph):
+            """(offs, los, oobs) for the s y-samples of output row ph."""
+            offs, los, oobs = [], [], []
+            for iy in range(s):
+                y = y1 + (ph + (iy + 0.5) / s) * bin_h
+                y_oob = (y < -1.0) | (y > height)
+                yc = jnp.clip(y, 0.0, height - 1)
+                y0 = jnp.floor(yc)
+                ly = yc - y0
+                y0i = jnp.minimum(y0.astype(jnp.int32), height - 2)
+                y0i = jnp.maximum(y0i, 0)
+                ly = jnp.where(y0.astype(jnp.int32) > y0i, 1.0, ly)
+                offs.append(y0i)
+                los.append(ly)
+                oobs.append(y_oob)
+            return offs, los, oobs
+
+        yw = 16  # single-RMW window for small boxes (ROI y-support <= yw rows)
+
+        def _accum_small(ncols, col0):
+            """Small-box fast path: ALL 14 output rows' updates land inside one
+            static yw-row window -> ONE accumulator RMW per ROI instead of p.
+            Typical RPN proposals (< yw*16 px tall at stride 16) take this
+            path; it cuts the accumulator traffic ~3.6x (p x [wrows, ncols, C]
+            -> 1 x [yw, ncols, C]) and removes p-1 dynamic-slice round trips."""
+            d_all = _d_all(ncols, col0)
+            c = g_buf.shape[-1]
+            # first possibly-touched feature row (same clip chain as the
+            # per-sample y0i, so every o = y0i - base_row is in [0, yw-2])
+            y_min = jnp.minimum(y1, y2)
+            lo_i = jnp.clip(
+                jnp.floor(jnp.clip(y_min, 0.0, height - 1.0)).astype(jnp.int32),
+                0, height - 2,
+            )
+            base_row = jnp.clip(lo_i, 0, height - yw)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (yw, 1), 0)[:, 0]
+            upd = jnp.zeros((yw, ncols, c), jnp.float32)
+            for ph in range(p):
+                offs, los, oobs = _y_taps(ph)
+                w16 = jnp.zeros((yw,), jnp.float32)
+                for iy in range(s):
+                    o = offs[iy] - base_row
+                    li = jnp.where(oobs[iy], 0.0, los[iy])
+                    top = jnp.where(oobs[iy], 0.0, 1.0 - los[iy])
+                    w16 = w16 + jnp.where(rows == o, top, 0.0) + jnp.where(
+                        rows == o + 1, li, 0.0
+                    )
+                d_row = d_all[:, ph * c:(ph + 1) * c].astype(jnp.float32)
+                upd = upd + d_row[None] * w16[:, None, None]
+            crel = pl.multiple_of(col0 - hoff, 8)
+            new = acc_ref[
+                pl.ds(base_row, yw), pl.ds(crel, ncols)
+            ].astype(jnp.float32) + upd
+            if stochastic:
+                bits = jax.lax.bitcast_convert_type(
+                    pltpu.prng_random_bits(new.shape), jnp.uint32
+                )
+                new = pltpu.stochastic_round(new, bits, target_dtype=jnp.bfloat16)
+            acc_ref[pl.ds(base_row, yw), pl.ds(crel, ncols)] = new.astype(
+                acc_ref.dtype
+            )
+
+        def _accum(ncols, col0):
+            d_all = _d_all(ncols, col0)
+            c = g_buf.shape[-1]
             crel = pl.multiple_of(col0 - hoff, 8)
             for ph in range(p):
                 d_row = d_all[:, ph * c:(ph + 1) * c].astype(jnp.float32)
@@ -413,8 +478,26 @@ def _bwd_kernel_vmem_listed(rois_ref, idx_ref, counts_ref, g_hbm, dfeat_ref,
                 )
 
         narrow = (x_sup_hi - x_sup_lo) <= (xw - 8)
-        if xw < half_width:
-            @pl.when(narrow)
+        if xw < half_width and height >= yw:
+            lo_i = jnp.clip(
+                jnp.floor(
+                    jnp.clip(jnp.minimum(y1, y2), 0.0, height - 1.0)
+                ).astype(jnp.int32), 0, height - 2,
+            )
+            hi_i = jnp.clip(
+                jnp.floor(
+                    jnp.clip(jnp.maximum(y1, y2), 0.0, height - 1.0)
+                ).astype(jnp.int32), 0, height - 2,
+            )
+            small_y = (hi_i - lo_i) <= (yw - 2)
+
+            @pl.when(narrow & small_y)
+            def _roi_small():
+                col0 = jnp.floor(x_sup_lo / 8.0).astype(jnp.int32) * 8
+                col0 = jnp.clip(col0, hoff, hoff + half_width - xw)
+                _accum_small(xw, col0)
+
+            @pl.when(narrow & ~small_y)
             def _roi_narrow():
                 col0 = jnp.floor(x_sup_lo / 8.0).astype(jnp.int32) * 8
                 col0 = jnp.clip(col0, hoff, hoff + half_width - xw)
@@ -422,6 +505,16 @@ def _bwd_kernel_vmem_listed(rois_ref, idx_ref, counts_ref, g_hbm, dfeat_ref,
 
             @pl.when(~narrow)
             def _roi_full():
+                _accum(half_width, hoff)
+        elif xw < half_width:
+            @pl.when(narrow)
+            def _roi_narrow2():
+                col0 = jnp.floor(x_sup_lo / 8.0).astype(jnp.int32) * 8
+                col0 = jnp.clip(col0, hoff, hoff + half_width - xw)
+                _accum(xw, col0)
+
+            @pl.when(~narrow)
+            def _roi_full2():
                 _accum(half_width, hoff)
         else:
             _accum(half_width, hoff)
