@@ -48,6 +48,34 @@ def main():
     for name, ms in total_ms.most_common(args.top):
         print(f"{ms:9.2f} ms  x{count[name]:<5} {name[:110]}")
 
+    # category rollup: where the step's device time goes, by op family
+    def cat(name):
+        n = name.lower()
+        if "roi_align_backward" in n:
+            return "roi_align bwd (pallas)"
+        if "pooled_rois" in n or "roi_align" in n:
+            return "roi_align fwd (pallas)"
+        if n.startswith("copy") or ".copy" in n:
+            return "copies"
+        if "while" in n:
+            return "while loops (NMS/topk)"
+        if "convolution" in n:
+            return "bare convolutions"
+        if "fusion" in n:
+            return "fusions (conv/elementwise)"
+        if n.startswith("jit_") or n[:1].isdigit():
+            return None  # enclosing step spans, not ops
+        return "other"
+
+    by_cat = collections.Counter()
+    for name, ms in total_ms.items():
+        c = cat(name)
+        if c:
+            by_cat[c] += ms
+    print("\nby category:")
+    for c, ms in by_cat.most_common():
+        print(f"{ms:9.2f} ms  {c}")
+
 
 if __name__ == "__main__":
     main()

@@ -32,6 +32,13 @@ def _time(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def _bwd_fn(jax, jnp, roi_align_pallas_batched, rois):
+    return jax.jit(lambda f: jnp.sum(jax.grad(
+        lambda x: jnp.sum(roi_align_pallas_batched(x, rois, 14, 1 / 16.0, 2)
+                          .astype(jnp.float32))
+    )(f).astype(jnp.float32)))
+
+
 def bench_roi_align():
     import jax
     import jax.numpy as jnp
@@ -72,6 +79,31 @@ def bench_roi_align():
                           .astype(jnp.float32))
     )(f).astype(jnp.float32)))
     print(f"roi_align pallas bwd small (2x{N}): {_time(bwd_s, feats):8.2f} ms")
+
+    # anchor-like boxes (sizes 32..512 px, what near-zero RPN deltas give)
+    sizes = 32 * (2.0 ** rng.randint(0, 5, (B, N, 2)))  # 32..512 px per side
+    ctr = rng.rand(B, N, 2) * np.array([1344, 800])
+    rois_a = np.clip(np.concatenate([ctr - sizes / 2, ctr + sizes / 2], axis=-1),
+                     0, [1343, 799, 1343, 799]).astype(np.float32)
+    bwd_a = _bwd_fn(jax, jnp, roi_align_pallas_batched, jnp.asarray(rois_a))
+    print(f"roi_align pallas bwd anchor-like (2x{N}): {_time(bwd_a, feats):8.2f} ms")
+
+    # image-scale boxes (600-1340 x 400-790 px): post-NMS clipped proposals
+    # from an UNTRAINED RPN span most of the feature map.  This regime is
+    # what bench.py / profile_train_step actually pay inside the step
+    # (in-step bwd ~11.3 ms sits between 'mixed' and 'image-scale'); a
+    # TRAINED RPN pays the 'small' regime instead.
+    rois_h = np.zeros((B, N, 4), np.float32)
+    rois_h[..., 0] = rng.rand(B, N) * 300
+    rois_h[..., 1] = rng.rand(B, N) * 200
+    rois_h[..., 2] = np.minimum(rois_h[..., 0] + 600 + rng.rand(B, N) * 740, 1343)
+    rois_h[..., 3] = np.minimum(rois_h[..., 1] + 400 + rng.rand(B, N) * 390, 799)
+    bwd_h = _bwd_fn(jax, jnp, roi_align_pallas_batched, jnp.asarray(rois_h))
+    print(f"roi_align pallas bwd image-scale (2x{N}): {_time(bwd_h, feats):8.2f} ms")
+
+    mixed = np.where(rng.rand(B, N, 1) < 0.5, rois_h, rois_a)
+    bwd_m = _bwd_fn(jax, jnp, roi_align_pallas_batched, jnp.asarray(mixed))
+    print(f"roi_align pallas bwd mixed       (2x{N}): {_time(bwd_m, feats):8.2f} ms")
 
 
 def bench_nms():
