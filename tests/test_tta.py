@@ -62,6 +62,50 @@ def test_predict_tta_grouped_pass_matches_sequential(model_and_vars):
 
 
 @pytest.mark.slow
+def test_predict_tta_with_precomputed_proposals(model_and_vars):
+    """PrecomputedProposals under TTA (rcnn.py:47-83: the reference transforms
+    proposal boxes into every augmented frame): with boxes supplied, the RPN is
+    skipped and an identity variant must reproduce predict(proposal_boxes)."""
+    model, variables = model_and_vars
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+    sizes = jnp.asarray([[64, 64]], jnp.float32)
+    pb = jnp.asarray(
+        [[[2.0, 2.0, 30.0, 40.0], [10.0, 5.0, 60.0, 60.0],
+          [0.0, 0.0, 63.0, 63.0], [20.0, 20.0, 44.0, 52.0]]], jnp.float32
+    )
+    pv = jnp.ones((1, 4), bool)
+
+    variants = [{"image": img, "image_size": sizes, "scale": 1.0, "flip": False}]
+    det_tta = model.apply(
+        variables, img, sizes, variants,
+        proposal_boxes=pb, proposal_valid=pv, method=WSRCNN.predict_tta,
+    )
+    det = model.apply(
+        variables, img, sizes, proposal_boxes=pb, proposal_valid=pv,
+        method=WSRCNN.predict,
+    )
+    v1, v2 = np.asarray(det_tta.valid), np.asarray(det.valid)
+    assert v1.sum() == v2.sum()
+    if v1.any():
+        np.testing.assert_allclose(
+            np.asarray(det_tta.boxes)[v1], np.asarray(det.boxes)[v2], atol=1.0
+        )
+
+    # flip + scale variants on the same proposals stay finite
+    flipped = jnp.asarray(np.asarray(img)[:, :, ::-1].copy())
+    variants = [
+        {"image": img, "image_size": sizes, "scale": 1.0, "flip": False},
+        {"image": flipped, "image_size": sizes, "scale": 1.0, "flip": True},
+    ]
+    det_f = model.apply(
+        variables, img, sizes, variants,
+        proposal_boxes=pb, proposal_valid=pv, method=WSRCNN.predict_tta,
+    )
+    assert np.isfinite(np.asarray(det_f.boxes)).all()
+
+
+@pytest.mark.slow
 def test_predict_tta_flip_variant(model_and_vars):
     model, variables = model_and_vars
     rng = np.random.RandomState(8)

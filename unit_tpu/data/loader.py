@@ -374,6 +374,19 @@ def build_tta_test_loader(cfg, dataset_name: str, image_loader=None):
 
     records = _host_shard(DatasetCatalog.get(dataset_name))
     base_t = TransformConfig.test_from_cfg(cfg)
+    use_proposals = bool(cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TEST)
+    if use_proposals:
+        # PrecomputedProposals under TTA: proposals ride the CANONICAL frame
+        # only — predict_tta rescales/flips them into each variant's frame
+        # in-graph, matching the reference's per-variant proposal transforms
+        # (rcnn.py:47-83)
+        from .proposals import attach_proposals
+
+        attach_proposals(
+            records, cfg.DATASETS.PROPOSAL_FILES_TEST,
+            cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST,
+        )
+        base_t.proposal_capacity = cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST
     variant_cfgs = []
     for ms in cfg.TEST.AUG.MIN_SIZES:
         t = TransformConfig(
@@ -407,7 +420,7 @@ def build_tta_test_loader(cfg, dataset_name: str, image_loader=None):
                     "scale": float(v["scale"] / canonical["scale"]),
                     "flip": flip,
                 })
-            yield {
+            out = {
                 "image": canonical["image"][None],
                 "image_size": canonical["image_size"][None],
                 "image_id": [canonical["image_id"]],
@@ -415,6 +428,10 @@ def build_tta_test_loader(cfg, dataset_name: str, image_loader=None):
                 "orig_size": canonical["orig_size"][None],
                 "variants": variants,
             }
+            if use_proposals:
+                out["proposals"] = canonical["proposals"][None]
+                out["proposals_valid"] = canonical["proposals_valid"][None]
+            yield out
 
     # background prefetch: the multi-variant host prep is heavy, overlap it
     # with the device's TTA forward

@@ -248,17 +248,6 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
     use_test_proposals = bool(
         cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TEST
     )
-    if use_tta and use_test_proposals:
-        # predict_tta regenerates proposals from the RPN, but precomputed-
-        # proposal (dock-style) models never train one — TTA would silently
-        # score with a random RPN and produce garbage metrics
-        raise ValueError(
-            "TEST.AUG.ENABLED is incompatible with MODEL.LOAD_PROPOSALS + "
-            "DATASETS.PROPOSAL_FILES_TEST: TTA inference generates proposals "
-            "from the (untrained) RPN instead of the precomputed files. "
-            "Disable TEST.AUG for precomputed-proposal models."
-        )
-
     predict = (
         make_predict_fn(model, with_proposals=True)
         if use_test_proposals
@@ -273,15 +262,31 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
                 flips.append(True)
         flips = tuple(flips)
 
-        @jax.jit
-        def tta_fn(params, cimg, csz, var_arrays):
-            variants = [
-                {"image": im, "image_size": sz, "scale": sc, "flip": fl}
-                for (im, sz, sc), fl in zip(var_arrays, flips)
-            ]
-            return model.apply(
-                {"params": params}, cimg, csz, variants, method=WSRCNN.predict_tta
-            )
+        if use_test_proposals:
+            # precomputed-proposal (dock-style) models never train an RPN:
+            # thread the canonical-frame proposal boxes into predict_tta,
+            # which rescales/flips them per variant (rcnn.py:47-83)
+            @jax.jit
+            def tta_fn(params, cimg, csz, var_arrays, pb, pv):
+                variants = [
+                    {"image": im, "image_size": sz, "scale": sc, "flip": fl}
+                    for (im, sz, sc), fl in zip(var_arrays, flips)
+                ]
+                return model.apply(
+                    {"params": params}, cimg, csz, variants,
+                    proposal_boxes=pb, proposal_valid=pv,
+                    method=WSRCNN.predict_tta,
+                )
+        else:
+            @jax.jit
+            def tta_fn(params, cimg, csz, var_arrays):
+                variants = [
+                    {"image": im, "image_size": sz, "scale": sc, "flip": fl}
+                    for (im, sz, sc), fl in zip(var_arrays, flips)
+                ]
+                return model.apply(
+                    {"params": params}, cimg, csz, variants, method=WSRCNN.predict_tta
+                )
 
     def eval_fn(state):
         # Accumulate per-dataset (ref engine/defaults.py:219-248); with a single
@@ -308,6 +313,11 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
                         (v["image"], v["image_size"], np.float32(v["scale"]))
                         for v in batch["variants"]
                     ]
+                    if use_test_proposals:
+                        return tta_fn(
+                            params, batch["image"], batch["image_size"], var_arrays,
+                            batch["proposals"], batch["proposals_valid"],
+                        )
                     return tta_fn(
                         params, batch["image"], batch["image_size"], var_arrays
                     )

@@ -771,6 +771,8 @@ class WSRCNN(nn.Module):
         canonical_image_sizes: jnp.ndarray,  # [B, 2] true size in that frame
         variants,                      # list of dicts: {image, image_size, scale, flip}
         with_transfer: bool = True,
+        proposal_boxes: Optional[jnp.ndarray] = None,
+        proposal_valid: Optional[jnp.ndarray] = None,
     ) -> Detections:
         """Multi-scale + flip test-time augmentation (rcnn.py:136-185).
 
@@ -780,15 +782,33 @@ class WSRCNN(nn.Module):
         AVERAGED (with dx mirrored back for flipped variants — the one deliberate
         fix over the reference, which averages raw flipped deltas), then decoded
         on the canonical proposals and run through one NMS pass.
+
+        With ``proposal_boxes`` given (PrecomputedProposals, the dock suite),
+        the RPN and the canonical backbone pass are skipped and the supplied
+        canonical-frame boxes are rescaled/flipped into every variant's frame
+        — the reference's TTA threads precomputed proposals through each
+        augmentation the same way (rcnn.py:47-83: resize/flip transforms
+        applied to ``proposals.proposal_boxes`` per variant).
         """
         mc = self.mc
-        feats0 = self.features(canonical_image)
-        logits, deltas = self.rpn(feats0)
-        fh, fw = feats0.shape[1], feats0.shape[2]
-        anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
-        proposals = rpn_lib.select_proposals(
-            logits, deltas, anchors, canonical_image_sizes, mc.rpn, training=False
-        )
+        if proposal_boxes is not None:
+            proposals = rpn_lib.Proposals(
+                boxes=proposal_boxes,
+                objectness=jnp.zeros(proposal_boxes.shape[:2], jnp.float32),
+                valid=(
+                    proposal_valid
+                    if proposal_valid is not None
+                    else jnp.ones(proposal_boxes.shape[:2], bool)
+                ),
+            )
+        else:
+            feats0 = self.features(canonical_image)
+            logits, deltas = self.rpn(feats0)
+            fh, fw = feats0.shape[1], feats0.shape[2]
+            anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
+            proposals = rpn_lib.select_proposals(
+                logits, deltas, anchors, canonical_image_sizes, mc.rpn, training=False
+            )
         b, p = proposals.boxes.shape[:2]
 
         # Variants sharing an image shape (i.e. each scale's noflip/flip pair)
