@@ -1,0 +1,136 @@
+"""Serving subsystem: DetectionService, StableHLO export roundtrip, HTTP server."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from unit_tpu.config import get_cfg
+from tests.test_model_smoke import tiny_config, model_and_vars  # noqa: F401
+
+
+def _serving_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 20
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.TPU.MAX_GT_BOXES = 10
+    return cfg
+
+
+def _png_bytes(arr_rgb):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr_rgb.astype(np.uint8)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.mark.slow
+def test_detection_service_array_and_bytes(model_and_vars):
+    from unit_tpu.serving import DetectionService
+
+    model, variables = model_and_vars
+    svc = DetectionService(
+        _serving_cfg(), model=model, params=variables["params"],
+        class_names=[f"c{i}" for i in range(20)],
+    )
+    rng = np.random.RandomState(0)
+    img = rng.rand(80, 100, 3).astype(np.float32) * 255  # landscape
+    dets = svc.detect_array(img)
+    assert isinstance(dets, list)
+    for d in dets:
+        assert set(d) >= {"box", "score", "class_id", "class_name"}
+        x1, y1, x2, y2 = d["box"]
+        assert 0 <= x1 <= x2 <= 100 and 0 <= y1 <= y2 <= 80
+
+    # encoded path decodes to the same original frame (portrait this time,
+    # exercising the transposed canvas)
+    dets_p = svc.detect_bytes(_png_bytes(rng.rand(100, 60, 3) * 255))
+    for d in dets_p:
+        x1, y1, x2, y2 = d["box"]
+        assert 0 <= x1 <= x2 <= 60 and 0 <= y1 <= y2 <= 100
+
+
+@pytest.mark.slow
+def test_export_roundtrip_matches_live_predict(model_and_vars, tmp_path):
+    """The serialized StableHLO artifact must reproduce the live jitted
+    predict bit-for-bit on the same canvas input (weights are baked in)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unit_tpu.serving import export_predict, load_exported
+    from unit_tpu.serving.export import make_flat_predict
+
+    model, variables = model_and_vars
+    cfg = _serving_cfg()
+    path = str(tmp_path / "model.stablehlo.pkl")
+    meta = export_predict(cfg, model, variables["params"], path)
+    assert meta["with_proposals"] is False
+    assert len(meta["canvases"]) == 2  # both orientations
+
+    exported = load_exported(path)
+    rng = np.random.RandomState(1)
+    key = meta["canvases"][0]
+    ch, cw = (int(v) for v in key.split("x"))
+    img = jnp.asarray(rng.rand(1, ch, cw, 3).astype(np.float32) * 255)
+    sizes = jnp.asarray([[ch, cw]], jnp.float32)
+
+    # the exact program that was serialized (same baked-params closure):
+    # the roundtrip must reproduce it bit-for-bit
+    live = jax.jit(make_flat_predict(model, variables["params"]))(img, sizes)
+    det_exp = exported(img, sizes)
+    np.testing.assert_array_equal(
+        np.asarray(live["valid"]), np.asarray(det_exp.valid))
+    v = np.asarray(live["valid"])
+    np.testing.assert_allclose(
+        np.asarray(live["boxes"])[v], np.asarray(det_exp.boxes)[v],
+        rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(live["scores"])[v], np.asarray(det_exp.scores)[v],
+        rtol=1e-6, atol=1e-6)
+
+    # unknown canvas -> clear error
+    bad = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    with pytest.raises(ValueError, match="no exported program"):
+        exported(bad, jnp.asarray([[32, 32]], jnp.float32))
+
+
+@pytest.mark.slow
+def test_http_server_end_to_end(model_and_vars):
+    from unit_tpu.serving import DetectionServer, DetectionService
+
+    model, variables = model_and_vars
+    svc = DetectionService(_serving_cfg(), model=model, params=variables["params"])
+    server = DetectionServer(
+        svc, host="127.0.0.1", port=0, metadata={"flavor": "test"}
+    ).start_background()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+        with urllib.request.urlopen(base + "/metadata", timeout=30) as r:
+            assert json.load(r)["flavor"] == "test"
+
+        rng = np.random.RandomState(2)
+        payload = _png_bytes(rng.rand(72, 96, 3) * 255)
+        req = urllib.request.Request(base + "/predict", data=payload, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = json.load(r)
+        assert "detections" in body
+        for d in body["detections"]:
+            assert {"box", "score", "class_id"} <= set(d)
+
+        # malformed input -> 400, not a crash
+        req = urllib.request.Request(
+            base + "/predict", data=b"not an image", method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
