@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--config-file", default="")
     ap.add_argument("--out", default="model.stablehlo.pkl")
     ap.add_argument("--describe", default="", help="print an artifact's metadata")
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="export fixed-batch programs for micro-batched serving")
     ap.add_argument("opts", nargs=argparse.REMAINDER)
     args = ap.parse_args()
 
@@ -59,7 +61,8 @@ def main():
             class_names = list(names)
             break
 
-    meta = export_predict(cfg, model, params, args.out, class_names=class_names)
+    meta = export_predict(cfg, model, params, args.out, class_names=class_names,
+                          batch_size=args.batch_size)
     size_mb = os.path.getsize(args.out) / 1e6
     print(f"exported {meta['canvases']} ({meta['platforms']}) "
           f"-> {args.out} ({size_mb:.1f} MB)")

@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="micro-batch concurrent requests into one device "
+                         "call of this size (ignored with --artifact: the "
+                         "artifact's exported batch size wins)")
+    ap.add_argument("--batch-wait-ms", type=float, default=5.0,
+                    help="max extra latency to wait for a full micro-batch")
     ap.add_argument("opts", nargs=argparse.REMAINDER)
     args = ap.parse_args()
 
@@ -47,7 +53,8 @@ def main():
 
     if args.artifact:
         exported = load_exported(args.artifact)
-        service = DetectionService(cfg, exported=exported, class_names=class_names)
+        service = DetectionService(cfg, exported=exported, class_names=class_names,
+                                   batch_wait_ms=args.batch_wait_ms)
         metadata = dict(exported.meta)
     else:
         import jax
@@ -62,12 +69,15 @@ def main():
         )
         params = runner.load_initial_weights(cfg, variables["params"])
         service = DetectionService(cfg, model=model, params=params,
-                                  class_names=class_names)
+                                  class_names=class_names,
+                                  batch_size=args.batch_size,
+                                  batch_wait_ms=args.batch_wait_ms)
         metadata = {
             "config": args.config_file,
             "weights": cfg.MODEL.WEIGHTS,
             "num_classes": int(cfg.MODEL.ROI_HEADS.NUM_CLASSES),
             "class_names": class_names,
+            "batch_size": args.batch_size,
         }
     if not args.no_warmup:
         print("warming up (compiling both canvas orientations)...", flush=True)

@@ -100,6 +100,77 @@ def test_export_roundtrip_matches_live_predict(model_and_vars, tmp_path):
 
 
 @pytest.mark.slow
+def test_microbatch_matches_single(model_and_vars):
+    """batch_size=4 micro-batched results == batch_size=1 results per image
+    (per-image independence of the batched predict path), including when the
+    group is padded and when orientations are mixed."""
+    from unit_tpu.serving import DetectionService
+    from unit_tpu.serving.server import _MicroBatcher
+
+    model, variables = model_and_vars
+    cfg = _serving_cfg()
+    names = [f"c{i}" for i in range(20)]
+    single = DetectionService(cfg, model=model, params=variables["params"],
+                              class_names=names)
+    calls = []
+    batched = DetectionService(cfg, model=model, params=variables["params"],
+                               class_names=names, batch_size=4,
+                               batch_wait_ms=60.0)
+    assert isinstance(batched._batcher, _MicroBatcher)
+    inner = batched._batcher._predict
+    batched._batcher._predict = lambda i, s: (calls.append(i.shape[0]), inner(i, s))[1]
+
+    rng = np.random.RandomState(3)
+    imgs = [rng.rand(80, 100, 3).astype(np.float32) * 255 for _ in range(3)]
+    imgs.append(rng.rand(100, 60, 3).astype(np.float32) * 255)  # portrait
+
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(4) as pool:
+        got = list(pool.map(batched.detect_array, imgs))
+    want = [single.detect_array(im) for im in imgs]
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        for dg, dw in zip(g, w):
+            assert dg["class_id"] == dw["class_id"]
+            # batch-4 vs batch-1 programs fuse differently: ~1e-3 px drift
+            np.testing.assert_allclose(dg["box"], dw["box"], rtol=1e-4, atol=1e-2)
+            np.testing.assert_allclose(dg["score"], dw["score"],
+                                       rtol=1e-3, atol=1e-4)
+    # every device call was padded to the full batch; grouping happened
+    # (4 images cannot have taken 4 calls: the 3 same-orientation requests
+    # arrived within the 60 ms window)
+    assert all(c == 4 for c in calls)
+    assert len(calls) < 4
+    batched.close()
+    assert batched._batcher is None
+
+
+@pytest.mark.slow
+def test_batched_export_roundtrip(model_and_vars, tmp_path):
+    """An artifact exported at batch_size=2 serves through the micro-batcher
+    and matches the live single-image service."""
+    from unit_tpu.serving import DetectionService, export_predict, load_exported
+
+    model, variables = model_and_vars
+    cfg = _serving_cfg()
+    path = str(tmp_path / "model_b2.stablehlo.pkl")
+    meta = export_predict(cfg, model, variables["params"], path, batch_size=2)
+    assert meta["batch_size"] == 2
+
+    svc = DetectionService(cfg, exported=load_exported(path))
+    assert svc.batch_size == 2  # picked up from the artifact
+    single = DetectionService(cfg, model=model, params=variables["params"])
+    img = np.random.RandomState(5).rand(80, 100, 3).astype(np.float32) * 255
+    got, want = svc.detect_array(img), single.detect_array(img)
+    assert len(got) == len(want)
+    for dg, dw in zip(got, want):
+        assert dg["class_id"] == dw["class_id"]
+        np.testing.assert_allclose(dg["box"], dw["box"], rtol=1e-4, atol=1e-2)
+    svc.close()
+
+
+@pytest.mark.slow
 def test_http_server_end_to_end(model_and_vars):
     from unit_tpu.serving import DetectionServer, DetectionService
 

@@ -78,8 +78,13 @@ def export_predict(
     path: str,
     class_names: Optional[Sequence[str]] = None,
     with_proposals: Optional[bool] = None,
+    batch_size: int = 1,
 ) -> Dict[str, object]:
     """Export the inference path for every canvas orientation to ``path``.
+
+    ``batch_size > 1`` exports fixed-batch programs for the serving-side
+    micro-batcher (server.py): the service pads every request group to this
+    batch, so each orientation still runs exactly one compiled program.
 
     Returns the artifact's metadata dict.
     """
@@ -95,16 +100,17 @@ def export_predict(
     checks = _disabled_checks(jax_export)
 
     blobs = {}
+    b = int(batch_size)
     prop_capacity = int(cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST or 128)
     for (ch, cw) in _canvas_orientations(cfg):
         args = [
-            jax.ShapeDtypeStruct((1, ch, cw, 3), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            jax.ShapeDtypeStruct((b, ch, cw, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2), jnp.float32),
         ]
         if with_proposals:
             args += [
-                jax.ShapeDtypeStruct((1, prop_capacity, 4), jnp.float32),
-                jax.ShapeDtypeStruct((1, prop_capacity), jnp.bool_),
+                jax.ShapeDtypeStruct((b, prop_capacity, 4), jnp.float32),
+                jax.ShapeDtypeStruct((b, prop_capacity), jnp.bool_),
             ]
         exp = jax_export.export(jax.jit(predict_flat), disabled_checks=checks)(*args)
         blobs[f"{ch}x{cw}"] = exp.serialize()
@@ -121,6 +127,7 @@ def export_predict(
         "num_classes": int(cfg.MODEL.ROI_HEADS.NUM_CLASSES),
         "class_names": list(class_names) if class_names else None,
         "with_proposals": bool(with_proposals),
+        "batch_size": b,
         "proposal_capacity": prop_capacity if with_proposals else 0,
         "size_divisibility": int(cfg.TPU.SIZE_DIVISIBILITY),
         "max_gt": int(cfg.TPU.MAX_GT_BOXES),

@@ -9,6 +9,13 @@ surface with no dependencies beyond the stdlib:
   shortest edge, orientation-bucketed fixed canvas) so served results match
   ``--eval-only`` outputs exactly, and the fixed shapes hit one compiled
   program per orientation.
+- Dynamic micro-batching (``batch_size > 1``): concurrent requests are
+  grouped per canvas orientation into one padded device call.  The measured
+  eval-path numbers motivate this (BASELINE.md): batch 4 runs ~1.9x more
+  images/sec than batch 1 on a v5e, so a loaded server nearly doubles
+  throughput at a few ms of added latency (``batch_wait_ms``).  Batches are
+  always padded to the full ``batch_size`` so each orientation compiles
+  exactly ONE program.
 - ``DetectionServer``: a threaded HTTP front end —
     POST /predict  (body: JPEG/PNG bytes) -> JSON detections
     GET  /healthz  -> {"status": "ok"} once the model is warmed up
@@ -22,15 +29,104 @@ from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional, Sequence
 
 import numpy as np
 
+_STOP = object()
+
+
+class _MicroBatcher:
+    """Groups concurrent predict calls into padded fixed-size device batches.
+
+    One daemon dispatcher thread drains a queue: it takes the first pending
+    request, waits up to ``wait_ms`` for more requests with the SAME canvas
+    shape (portrait and landscape compile different programs), pads the
+    group to ``batch_size`` and runs one device call.  A request with a
+    different canvas flushes the current group and is requeued.
+    """
+
+    def __init__(self, predict: Callable, batch_size: int, wait_ms: float):
+        self._predict = predict
+        self.batch_size = int(batch_size)
+        self._wait_s = float(wait_ms) / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, size: np.ndarray) -> dict:
+        """image [Hc, Wc, 3], size [2] -> dict of per-image output arrays."""
+        item = {"image": image, "size": size, "event": threading.Event()}
+        self._q.put(item)
+        item["event"].wait()
+        if "error" in item:
+            raise item["error"]
+        return item["out"]
+
+    def close(self):
+        self._q.put(_STOP)
+        self._thread.join(timeout=5)
+
+    # -- dispatcher thread -------------------------------------------------
+    def _loop(self):
+        while True:
+            first = self._q.get()
+            if first is _STOP:
+                return
+            group = [first]
+            key = first["image"].shape
+            deadline = time.monotonic() + self._wait_s
+            stop = False
+            while len(group) < self.batch_size:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if item is _STOP:
+                    stop = True
+                    break
+                if item["image"].shape != key:
+                    self._q.put(item)  # other orientation: next group
+                    break
+                group.append(item)
+            self._dispatch(group)
+            if stop:
+                return
+
+    def _dispatch(self, group):
+        try:
+            n, b = len(group), self.batch_size
+            images = np.zeros((b,) + group[0]["image"].shape, np.float32)
+            sizes = np.ones((b, 2), np.float32)
+            for i, item in enumerate(group):
+                images[i] = item["image"]
+                sizes[i] = item["size"]
+            det = self._predict(images, sizes)
+            fields = {
+                "boxes": np.asarray(det.boxes), "scores": np.asarray(det.scores),
+                "classes": np.asarray(det.classes), "valid": np.asarray(det.valid),
+            }
+            if det.masks is not None:
+                fields["masks"] = np.asarray(det.masks)
+            for i, item in enumerate(group):
+                item["out"] = {k: v[i] for k, v in fields.items()}
+        except Exception as e:  # propagate to every waiter in the group
+            for item in group:
+                item["error"] = e
+        finally:
+            for item in group:
+                item["event"].set()
+
 
 class DetectionService:
-    """Shared-state detector: prep -> predict -> original-frame detections."""
+    """Shared-state detector: prep -> (micro-batched) predict -> detections."""
 
     def __init__(
         self,
@@ -39,6 +135,8 @@ class DetectionService:
         params=None,
         exported=None,
         class_names: Optional[Sequence[str]] = None,
+        batch_size: int = 1,
+        batch_wait_ms: float = 5.0,
     ):
         from ..data.transforms import TransformConfig
 
@@ -53,11 +151,19 @@ class DetectionService:
             self._predict = exported
             if exported.meta.get("class_names") and not self.class_names:
                 self.class_names = exported.meta["class_names"]
+            # an artifact exported at batch N fixes the device batch size
+            batch_size = int(exported.meta.get("batch_size", 1) or 1)
         else:
             from ..engine.train import make_predict_fn
 
             fn = make_predict_fn(model)
             self._predict = lambda img, sz: fn(params, img, sz)
+        self.batch_size = int(batch_size)
+        self._batcher = (
+            _MicroBatcher(self._predict, self.batch_size, batch_wait_ms)
+            if self.batch_size > 1
+            else None
+        )
 
     # -- input adapters ----------------------------------------------------
     def detect_bytes(self, data: bytes):
@@ -78,29 +184,37 @@ class DetectionService:
                 {"image_id": "request"}, self.tcfg, self._rng,
                 image=image_bgr, training=False,
             )
-            det = self._predict(
-                s["image"][None],
-                np.asarray(s["image_size"], np.float32)[None],
-            )
-            boxes, scores, classes, valid = [
-                np.asarray(x[0]) for x in (det.boxes, det.scores, det.classes, det.valid)
-            ]
-        boxes = boxes / s["scale"]
+        size = np.asarray(s["image_size"], np.float32)
+        if self._batcher is not None:
+            out = self._batcher.submit(np.asarray(s["image"]), size)
+        else:
+            with self._lock:
+                det = self._predict(s["image"][None], size[None])
+                out = {
+                    "boxes": np.asarray(det.boxes[0]),
+                    "scores": np.asarray(det.scores[0]),
+                    "classes": np.asarray(det.classes[0]),
+                    "valid": np.asarray(det.valid[0]),
+                }
+        return self._format(out, s["scale"], h, w)
+
+    def _format(self, out: dict, scale: float, h: int, w: int):
+        boxes = out["boxes"] / scale
         boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, w)
         boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, h)
-        out = []
-        for i in np.flatnonzero(valid):
-            cid = int(classes[i])
+        recs = []
+        for i in np.flatnonzero(out["valid"]):
+            cid = int(out["classes"][i])
             rec = {
                 "box": [float(v) for v in boxes[i]],
-                "score": float(scores[i]),
+                "score": float(out["scores"][i]),
                 "class_id": cid,
             }
             if self.class_names and 0 <= cid < len(self.class_names):
                 rec["class_name"] = self.class_names[cid]
-            out.append(rec)
-        out.sort(key=lambda r: -r["score"])
-        return out
+            recs.append(rec)
+        recs.sort(key=lambda r: -r["score"])
+        return recs
 
     def warmup(self):
         """Compile every orientation once so the first request is fast."""
@@ -108,6 +222,11 @@ class DetectionService:
         for (hh, ww) in {(ch, cw), (cw, ch)}:
             self.detect_array(np.zeros((hh, ww, 3), np.float32))
         return self
+
+    def close(self):
+        if self._batcher is not None:
+            self._batcher.close()
+            self._batcher = None
 
 
 def _make_handler(service: DetectionService, metadata: dict):
@@ -172,5 +291,6 @@ class DetectionServer:
     def shutdown(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+        self.service.close()
         if self._thread is not None:
             self._thread.join(timeout=5)
