@@ -39,6 +39,25 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
+// Shared scanline loop once a source manager is attached. Returns false on
+// failure (longjmp target must be set by the caller's setjmp).
+bool ReadJpegRows(jpeg_decompress_struct* cinfo,
+                  std::vector<unsigned char>* out, int* h, int* w) {
+  jpeg_read_header(cinfo, TRUE);
+  cinfo->out_color_space = JCS_RGB;
+  jpeg_start_decompress(cinfo);
+  *w = cinfo->output_width;
+  *h = cinfo->output_height;
+  out->resize(static_cast<size_t>(*h) * (*w) * 3);
+  while (cinfo->output_scanline < cinfo->output_height) {
+    unsigned char* row = out->data() +
+                         static_cast<size_t>(cinfo->output_scanline) * (*w) * 3;
+    jpeg_read_scanlines(cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(cinfo);
+  return true;
+}
+
 // Decode a JPEG file to interleaved RGB uint8. Returns false on failure.
 bool DecodeJpeg(const char* path, std::vector<unsigned char>* out, int* h,
                 int* w) {
@@ -55,21 +74,30 @@ bool DecodeJpeg(const char* path, std::vector<unsigned char>* out, int* h,
   }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
-  jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
-  jpeg_start_decompress(&cinfo);
-  *w = cinfo.output_width;
-  *h = cinfo.output_height;
-  out->resize(static_cast<size_t>(*h) * (*w) * 3);
-  while (cinfo.output_scanline < cinfo.output_height) {
-    unsigned char* row = out->data() +
-                         static_cast<size_t>(cinfo.output_scanline) * (*w) * 3;
-    jpeg_read_scanlines(&cinfo, &row, 1);
-  }
-  jpeg_finish_decompress(&cinfo);
+  bool ok = ReadJpegRows(&cinfo, out, h, w);
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
-  return true;
+  return ok;
+}
+
+// Decode an in-memory JPEG buffer (the serving path: request bytes never
+// touch disk). Returns false on failure.
+bool DecodeJpegMem(const unsigned char* data, size_t len,
+                   std::vector<unsigned char>* out, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(len));
+  bool ok = ReadJpegRows(&cinfo, out, h, w);
+  jpeg_destroy_decompress(&cinfo);
+  return ok;
 }
 
 // Bilinear resize RGB uint8 -> BGR float32, written into a (canvas_h, canvas_w,
@@ -118,6 +146,28 @@ int decode_image_size(const char* path, int* h, int* w) {
   return DecodeJpeg(path, &buf, h, w) ? 0 : 1;
 }
 
+// Header-only dims probe for an in-memory JPEG (no pixel decode): the server
+// uses this to pick the portrait/landscape canvas before prepare_image_mem.
+int decode_image_size_mem(const unsigned char* data, long len, int* h,
+                          int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  *h = static_cast<int>(cinfo.image_height);
+  *w = static_cast<int>(cinfo.image_width);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 // Single-image full prep (train-path variant of prepare_batch): per-image
 // min_size (the train pipeline samples one per record) and an optional
 // horizontal flip, all inside one GIL-free call.
@@ -147,6 +197,42 @@ int prepare_image(const char* path, int min_size, int max_size, int canvas_h,
   out_size[0] = static_cast<float>(nh);
   out_size[1] = static_cast<float>(nw);
   out_scale[0] = scale;
+  return 0;
+}
+
+// Serving-path variant of prepare_image: decode REQUEST BYTES in memory
+// (GIL-free, no temp file). Additionally reports the original image dims
+// (out_orig [2] = h, w) which the server needs to map boxes back to the
+// client's frame.
+int prepare_image_mem(const unsigned char* data, long len, int min_size,
+                      int max_size, int canvas_h, int canvas_w, int flip,
+                      float* out_image, float* out_size, float* out_scale,
+                      float* out_orig) {
+  const size_t img_elems = static_cast<size_t>(canvas_h) * canvas_w * 3;
+  std::memset(out_image, 0, img_elems * sizeof(float));
+  std::vector<unsigned char> rgb;
+  int h = 0, w = 0;
+  if (!DecodeJpegMem(data, static_cast<size_t>(len), &rgb, &h, &w)) {
+    out_size[0] = out_size[1] = 0;
+    out_scale[0] = 1.0f;
+    out_orig[0] = out_orig[1] = 0;
+    return 1;
+  }
+  float scale = static_cast<float>(min_size) / std::min(h, w);
+  if (std::max(h, w) * scale > max_size) {
+    scale = static_cast<float>(max_size) / std::max(h, w);
+  }
+  int nh = std::min(static_cast<int>(std::lround(h * scale)), canvas_h);
+  int nw = std::min(static_cast<int>(std::lround(w * scale)), canvas_w);
+  nh = std::max(nh, 1);
+  nw = std::max(nw, 1);
+  ResizeToCanvas(rgb.data(), h, w, out_image, canvas_h, canvas_w, nh, nw,
+                 flip != 0);
+  out_size[0] = static_cast<float>(nh);
+  out_size[1] = static_cast<float>(nw);
+  out_scale[0] = scale;
+  out_orig[0] = static_cast<float>(h);
+  out_orig[1] = static_cast<float>(w);
   return 0;
 }
 

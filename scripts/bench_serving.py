@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Serving-path throughput: single-image vs micro-batched DetectionService.
+
+Measures requests/sec of the full service path (decode -> test-time transform
+-> device predict -> original-frame postprocess) under concurrent client
+load, for batch_size 1 vs N.  This is the serving analogue of
+scripts/bench_eval.py and quantifies the micro-batcher (unit_tpu/serving).
+
+    python scripts/bench_serving.py [--requests 64] [--clients 8] [--batch 4]
+"""
+
+import argparse
+import concurrent.futures as cf
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def run(service, requests, clients, mode):
+    call = service.detect_bytes if mode == "bytes" else service.detect_array
+    with cf.ThreadPoolExecutor(clients) as pool:
+        t0 = time.perf_counter()
+        results = list(pool.map(call, requests))
+        dt = time.perf_counter() - t0
+    assert all(isinstance(r, list) for r in results)
+    return len(requests) / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=64)
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--min-size", type=int, default=800)
+    ap.add_argument("--max-size", type=int, default=1344)
+    ap.add_argument("--depth", type=int, default=50)
+    ap.add_argument("--mode", choices=("bytes", "array"), default="bytes",
+                    help="bytes = full request path incl. JPEG decode "
+                         "(C in-memory decoder when built); array = "
+                         "pre-decoded ndarray input")
+    args = ap.parse_args()
+
+    import jax
+
+    # the JAX_PLATFORMS env var is pinned by the axon runtime; the config API
+    # is the only way to force CPU (same contract as engine/runner.py:103)
+    plat = os.environ.get("UNIT_TPU_PLATFORM", "")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    import jax.numpy as jnp
+
+    from unit_tpu.config import get_cfg
+    from unit_tpu.models import ModelConfig, WSRCNN
+    from unit_tpu.serving import DetectionService
+
+    cfg = get_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 20
+    cfg.MODEL.RESNETS.DEPTH = args.depth
+    cfg.INPUT.MIN_SIZE_TEST = args.min_size
+    cfg.INPUT.MAX_SIZE_TEST = args.max_size
+    model = WSRCNN(mc=ModelConfig.from_cfg(cfg))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.asarray([[64, 64]], jnp.float32),
+    )
+    params = variables["params"]
+
+    rng = np.random.RandomState(0)
+    # landscape-only request stream (one orientation = one program per config);
+    # off-canvas dims so the resize path genuinely runs
+    h, w = int(args.min_size * 0.96), int(args.max_size * 0.97)
+    arrays = [
+        rng.rand(h, w, 3).astype(np.float32) * 255
+        for _ in range(args.requests)
+    ]
+    if args.mode == "bytes":
+        import io
+
+        from PIL import Image
+
+        requests = []
+        for a in arrays:
+            buf = io.BytesIO()
+            Image.fromarray(a.astype(np.uint8)).save(buf, format="JPEG", quality=90)
+            requests.append(buf.getvalue())
+    else:
+        requests = arrays
+
+    svc1 = DetectionService(cfg, model=model, params=params)
+    svc1.warmup()
+    run(svc1, requests[: args.clients * 2], args.clients, args.mode)
+    r1 = run(svc1, requests, args.clients, args.mode)
+    print(f"[{args.mode}] batch 1:       {r1:.2f} req/s ({1e3 / r1:.1f} ms/req)")
+
+    svcN = DetectionService(cfg, model=model, params=params,
+                            batch_size=args.batch, batch_wait_ms=10.0)
+    svcN.warmup()  # compiles every power-of-two batch program
+    run(svcN, requests[: args.clients * 2], args.clients, args.mode)
+    rN = run(svcN, requests, args.clients, args.mode)
+    svcN.close()
+    print(f"[{args.mode}] batch {args.batch} (micro): {rN:.2f} req/s "
+          f"({1e3 / rN:.1f} ms/req)  speedup x{rN / r1:.2f}")
+
+
+if __name__ == "__main__":
+    main()

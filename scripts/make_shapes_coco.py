@@ -161,6 +161,15 @@ def write_appearance_embeddings(path: str):
     round-2 zero-shot novel_mean ~6 diagnosis, BASELINE.md).  These
     embeddings give the lingual term real signal: shape one-hot + a hue
     circle, so lingual similarity ~ appearance similarity.
+
+    The x4 scale matters: similarity_matrices softmaxes the novel@base dot
+    products over the 60 base classes, and GloVe dots reach ~35 (mean top-1
+    softmax mass 0.81).  Unit-scale appearance dots live in [-1, 2], whose
+    softmax is near-uniform (top-1 mass 0.07) — the transfer smears over all
+    base classes and novel AP measures exactly 0 (run log in BASELINE.md).
+    Scaling by 4 puts dots in [-16, 31] (top-1 mass 0.72, entropy 0.51 vs
+    GloVe's 0.53), concentrating transfer on the same-shape nearest-hue base
+    classes.
     """
     emb = np.zeros((80, 300), np.float32)
     for i in range(80):
@@ -168,7 +177,7 @@ def write_appearance_embeddings(path: str):
         theta = 2.0 * np.pi * (i // 5) / 16.0     # hue circle
         emb[i, 5] = np.cos(theta)
         emb[i, 6] = np.sin(theta)
-    np.savez(path, embeddings=emb)
+    np.savez(path, embeddings=emb * 4.0)
     return path
 
 

@@ -137,10 +137,10 @@ def test_microbatch_matches_single(model_and_vars):
             np.testing.assert_allclose(dg["box"], dw["box"], rtol=1e-4, atol=1e-2)
             np.testing.assert_allclose(dg["score"], dw["score"],
                                        rtol=1e-3, atol=1e-4)
-    # every device call was padded to the full batch; grouping happened
+    # every device call was padded to a power-of-two batch; grouping happened
     # (4 images cannot have taken 4 calls: the 3 same-orientation requests
     # arrived within the 60 ms window)
-    assert all(c == 4 for c in calls)
+    assert all(c in (1, 2, 4) for c in calls)
     assert len(calls) < 4
     batched.close()
     assert batched._batcher is None
@@ -168,6 +168,51 @@ def test_batched_export_roundtrip(model_and_vars, tmp_path):
         assert dg["class_id"] == dw["class_id"]
         np.testing.assert_allclose(dg["box"], dw["box"], rtol=1e-4, atol=1e-2)
     svc.close()
+
+
+@pytest.mark.slow
+def test_detect_bytes_native_jpeg_path(model_and_vars, monkeypatch):
+    """JPEG requests take the C in-memory decode path and agree with the PIL
+    fallback (decoders may differ by +-1 LSB per pixel -> loose box tol)."""
+    import io
+
+    from PIL import Image
+
+    from unit_tpu.data import native
+    from unit_tpu.serving import DetectionService
+
+    if not (native.available() and hasattr(native.load_library(), "prepare_image_mem")):
+        pytest.skip("native library not built")
+
+    model, variables = model_and_vars
+    svc = DetectionService(_serving_cfg(), model=model, params=variables["params"])
+    rng = np.random.RandomState(7)
+    payloads = []
+    for shape in ((90, 120, 3), (120, 70, 3)):  # landscape + portrait
+        buf = io.BytesIO()
+        Image.fromarray((rng.rand(*shape) * 255).astype(np.uint8)).save(
+            buf, format="JPEG", quality=95)
+        payloads.append(buf.getvalue())
+
+    native_calls = []
+    orig = native.prepare_image_mem_native
+    monkeypatch.setattr(
+        native, "prepare_image_mem_native",
+        lambda *a, **k: (native_calls.append(1), orig(*a, **k))[1],
+    )
+    got = [svc.detect_bytes(p) for p in payloads]
+    assert len(native_calls) == 2  # both requests went through C
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    want = [svc.detect_bytes(p) for p in payloads]
+    for g, w, shape in zip(got, want, ((90, 120), (120, 70))):
+        assert len(g) == len(w)
+        for dg, dw in zip(g, w):
+            assert dg["class_id"] == dw["class_id"]
+            np.testing.assert_allclose(dg["box"], dw["box"], atol=1.5)
+        for d in g:  # boxes in the ORIGINAL client frame
+            x1, y1, x2, y2 = d["box"]
+            assert 0 <= x1 <= x2 <= shape[1] and 0 <= y1 <= y2 <= shape[0]
 
 
 @pytest.mark.slow

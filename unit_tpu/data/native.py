@@ -53,6 +53,22 @@ def load_library() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_float),
                     ctypes.POINTER(ctypes.c_float),
                 ]
+            if hasattr(lib, "decode_image_size_mem"):
+                lib.decode_image_size_mem.restype = ctypes.c_int
+                lib.decode_image_size_mem.argtypes = [
+                    ctypes.c_char_p, ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ]
+            if hasattr(lib, "prepare_image_mem"):
+                lib.prepare_image_mem.restype = ctypes.c_int
+                lib.prepare_image_mem.argtypes = [
+                    ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                ]
             _LIB = lib
             return lib
     return None
@@ -89,6 +105,53 @@ def prepare_image_native(
     if rc:
         raise RuntimeError(f"native decode failed for {path}")
     return image, (int(size[0]), int(size[1])), float(scale[0])
+
+
+def decode_image_size_mem_native(data: bytes) -> Tuple[int, int]:
+    """Header-only (h, w) of an in-memory JPEG; raises RuntimeError if it is
+    not parseable JPEG (caller falls back to PIL)."""
+    lib = load_library()
+    assert lib is not None and hasattr(lib, "decode_image_size_mem")
+    h = ctypes.c_int(0)
+    w = ctypes.c_int(0)
+    if lib.decode_image_size_mem(data, len(data), ctypes.byref(h), ctypes.byref(w)):
+        raise RuntimeError("not a decodable JPEG header")
+    return int(h.value), int(w.value)
+
+
+def prepare_image_mem_native(
+    data: bytes,
+    min_size: int,
+    max_size: int,
+    canvas: Tuple[int, int],
+    flip: bool = False,
+):
+    """Decode+resize an IN-MEMORY JPEG fully in C (GIL released).
+
+    The serving path (unit_tpu/serving/server.py): request bytes never touch
+    disk.  Returns (image [H, W, 3] BGR float32, (new_h, new_w), scale,
+    (orig_h, orig_w)); raises RuntimeError on decode failure (caller falls
+    back to the PIL path, e.g. for PNG input)."""
+    lib = load_library()
+    assert lib is not None and hasattr(lib, "prepare_image_mem")
+    ch, cw = canvas
+    image = np.zeros((ch, cw, 3), np.float32)
+    size = np.zeros((2,), np.float32)
+    scale = np.zeros((1,), np.float32)
+    orig = np.zeros((2,), np.float32)
+    rc = lib.prepare_image_mem(
+        data, len(data), min_size, max_size, ch, cw, int(flip),
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        orig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc:
+        raise RuntimeError("native in-memory decode failed")
+    return (
+        image, (int(size[0]), int(size[1])), float(scale[0]),
+        (int(orig[0]), int(orig[1])),
+    )
 
 
 def prepare_batch_native(

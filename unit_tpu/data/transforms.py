@@ -70,6 +70,8 @@ def resize_shortest_edge(h: int, w: int, min_size: int, max_size: int) -> Tuple[
 def resize_image(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
     """Bilinear resize HxWx3 float32 via separable linear interpolation."""
     h, w = img.shape[:2]
+    if (new_h, new_w) == (h, w):  # identity resample: skip the gather passes
+        return np.asarray(img, np.float32)
     ys = (np.arange(new_h) + 0.5) * (h / new_h) - 0.5
     xs = (np.arange(new_w) + 0.5) * (w / new_w) - 0.5
     y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)

@@ -50,13 +50,27 @@ class _MicroBatcher:
     different canvas flushes the current group and is requeued.
     """
 
-    def __init__(self, predict: Callable, batch_size: int, wait_ms: float):
+    def __init__(self, predict: Callable, batch_size: int, wait_ms: float,
+                 fixed: bool = False):
         self._predict = predict
         self.batch_size = int(batch_size)
+        # fixed=True: the predictor has exactly ONE compiled batch size (an
+        # exported artifact) — every group pads to it.  fixed=False (live
+        # jit): pad to the nearest power of two so a group of 1 does not pay
+        # a full-batch device call.
+        self._fixed = bool(fixed)
         self._wait_s = float(wait_ms) / 1e3
         self._q: "queue.Queue" = queue.Queue()
+        # Dispatch and fetch are separate threads so group k+1's host
+        # stacking + device dispatch overlaps group k's device->host fetch
+        # (on a remote-attached chip the fetch round trip is the dominant
+        # fixed cost; the batch-1 path gets the same overlap for free from
+        # its concurrent client threads).  maxsize=2 bounds in-flight groups.
+        self._fetch_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._fetch_thread = threading.Thread(target=self._fetch_loop, daemon=True)
         self._thread.start()
+        self._fetch_thread.start()
 
     def submit(self, image: np.ndarray, size: np.ndarray) -> dict:
         """image [Hc, Wc, 3], size [2] -> dict of per-image output arrays."""
@@ -70,6 +84,8 @@ class _MicroBatcher:
     def close(self):
         self._q.put(_STOP)
         self._thread.join(timeout=5)
+        self._fetch_q.put(_STOP)
+        self._fetch_thread.join(timeout=5)
 
     # -- dispatcher thread -------------------------------------------------
     def _loop(self):
@@ -102,27 +118,55 @@ class _MicroBatcher:
 
     def _dispatch(self, group):
         try:
-            n, b = len(group), self.batch_size
+            n = len(group)
+            if self._fixed:
+                b = self.batch_size
+            else:
+                # nearest power-of-two batch, not always the maximum: a group
+                # of 1 must not pay a batch-8 device call.  At most
+                # log2(batch_size)+1 compiled programs per orientation.
+                b = 1
+                while b < n:
+                    b *= 2
+                b = min(b, self.batch_size)
             images = np.zeros((b,) + group[0]["image"].shape, np.float32)
             sizes = np.ones((b, 2), np.float32)
             for i, item in enumerate(group):
                 images[i] = item["image"]
                 sizes[i] = item["size"]
+            # jit dispatch is async: this enqueues device work and returns
+            # lazy arrays; the fetch thread pays the device->host round trip
             det = self._predict(images, sizes)
-            fields = {
-                "boxes": np.asarray(det.boxes), "scores": np.asarray(det.scores),
-                "classes": np.asarray(det.classes), "valid": np.asarray(det.valid),
-            }
-            if det.masks is not None:
-                fields["masks"] = np.asarray(det.masks)
-            for i, item in enumerate(group):
-                item["out"] = {k: v[i] for k, v in fields.items()}
         except Exception as e:  # propagate to every waiter in the group
             for item in group:
                 item["error"] = e
-        finally:
-            for item in group:
                 item["event"].set()
+            return
+        self._fetch_q.put((group, det))
+
+    def _fetch_loop(self):
+        while True:
+            job = self._fetch_q.get()
+            if job is _STOP:
+                return
+            group, det = job
+            try:
+                fields = {
+                    "boxes": np.asarray(det.boxes),
+                    "scores": np.asarray(det.scores),
+                    "classes": np.asarray(det.classes),
+                    "valid": np.asarray(det.valid),
+                }
+                if det.masks is not None:
+                    fields["masks"] = np.asarray(det.masks)
+                for i, item in enumerate(group):
+                    item["out"] = {k: v[i] for k, v in fields.items()}
+            except Exception as e:
+                for item in group:
+                    item["error"] = e
+            finally:
+                for item in group:
+                    item["event"].set()
 
 
 class DetectionService:
@@ -160,14 +204,31 @@ class DetectionService:
             self._predict = lambda img, sz: fn(params, img, sz)
         self.batch_size = int(batch_size)
         self._batcher = (
-            _MicroBatcher(self._predict, self.batch_size, batch_wait_ms)
+            _MicroBatcher(self._predict, self.batch_size, batch_wait_ms,
+                          fixed=exported is not None)
             if self.batch_size > 1
             else None
         )
 
     # -- input adapters ----------------------------------------------------
     def detect_bytes(self, data: bytes):
-        """Decode an encoded image (JPEG/PNG/...) and run detection."""
+        """Decode an encoded image (JPEG/PNG/...) and run detection.
+
+        JPEG requests decode+resize fully in C with the GIL released
+        (native/dataloader.cc prepare_image_mem) when the library is built;
+        anything else (or a native failure) falls back to PIL."""
+        from ..data import native
+
+        if data[:2] == b"\xff\xd8" and native.available():
+            try:
+                h, w = native.decode_image_size_mem_native(data)
+                image, (nh, nw), scale, _ = native.prepare_image_mem_native(
+                    data, self.tcfg.min_sizes[0], self.tcfg.max_size,
+                    self._canvas_for(h, w),
+                )
+                return self._detect_prepared(image, (nh, nw), scale, h, w)
+            except RuntimeError:
+                pass  # corrupt JPEG: let PIL produce the error/result
         from PIL import Image
 
         img = Image.open(io.BytesIO(data)).convert("RGB")
@@ -184,19 +245,31 @@ class DetectionService:
                 {"image_id": "request"}, self.tcfg, self._rng,
                 image=image_bgr, training=False,
             )
-        size = np.asarray(s["image_size"], np.float32)
+        return self._detect_prepared(
+            np.asarray(s["image"]), s["image_size"], s["scale"], h, w
+        )
+
+    def _canvas_for(self, h: int, w: int):
+        """Orientation-bucketed canvas (same rule as prepare_detection_record)."""
+        ch, cw = self.tcfg.canvas
+        if h > w:
+            return (max(ch, cw), min(ch, cw))
+        return (min(ch, cw), max(ch, cw))
+
+    def _detect_prepared(self, image, image_size, scale, h, w):
+        size = np.asarray(image_size, np.float32)
         if self._batcher is not None:
-            out = self._batcher.submit(np.asarray(s["image"]), size)
+            out = self._batcher.submit(image, size)
         else:
             with self._lock:
-                det = self._predict(s["image"][None], size[None])
-                out = {
-                    "boxes": np.asarray(det.boxes[0]),
-                    "scores": np.asarray(det.scores[0]),
-                    "classes": np.asarray(det.classes[0]),
-                    "valid": np.asarray(det.valid[0]),
-                }
-        return self._format(out, s["scale"], h, w)
+                det = self._predict(image[None], size[None])
+            out = {
+                "boxes": np.asarray(det.boxes[0]),
+                "scores": np.asarray(det.scores[0]),
+                "classes": np.asarray(det.classes[0]),
+                "valid": np.asarray(det.valid[0]),
+            }
+        return self._format(out, scale, h, w)
 
     def _format(self, out: dict, scale: float, h: int, w: int):
         boxes = out["boxes"] / scale
@@ -217,10 +290,31 @@ class DetectionService:
         return recs
 
     def warmup(self):
-        """Compile every orientation once so the first request is fast."""
-        ch, cw = self.tcfg.canvas
-        for (hh, ww) in {(ch, cw), (cw, ch)}:
-            self.detect_array(np.zeros((hh, ww, 3), np.float32))
+        """Compile every program a request could hit so no request pays a
+        compile stall: both canvas orientations, and — when micro-batching —
+        every power-of-two batch size up to batch_size."""
+        sizes = [1]
+        while self._batcher is not None and sizes[-1] < self.batch_size:
+            sizes.append(min(sizes[-1] * 2, self.batch_size))
+        wait = None
+        if self._batcher is not None:  # let warmup groups fill completely
+            wait, self._batcher._wait_s = self._batcher._wait_s, 1.0
+        try:
+            ch, cw = self.tcfg.canvas
+            for (hh, ww) in {(ch, cw), (cw, ch)}:
+                for k in sizes:
+                    img = np.zeros((hh, ww, 3), np.float32)
+                    if k == 1:
+                        self.detect_array(img)
+                    else:
+                        import concurrent.futures as cf
+
+                        # k concurrent requests force one size-k group
+                        with cf.ThreadPoolExecutor(k) as pool:
+                            list(pool.map(self.detect_array, [img] * k))
+        finally:
+            if wait is not None:
+                self._batcher._wait_s = wait
         return self
 
     def close(self):
