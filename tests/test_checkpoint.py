@@ -53,3 +53,19 @@ def test_best_ap_tracking(tmp_path):
     # warm start from disk (detection_checkpoint.py:13-19)
     ckpt2 = Checkpointer(str(tmp_path))
     assert ckpt2.best_info["AP50"] == 60.0
+    ckpt.wait()  # join the async best-save before tmp_path is deleted
+
+
+def test_async_save_lands_after_wait(tmp_path):
+    """save() returns immediately (background write); wait()/restore join it and
+    the on-disk bytes are the snapshot taken at call time, not later mutations."""
+    from unit_tpu.checkpoint import Checkpointer
+
+    ckpt = Checkpointer(str(tmp_path), max_to_keep=2)
+    state = {"w": np.arange(4.0)}
+    ckpt.save(1, state)
+    state["w"] += 100.0  # mutate IN PLACE after scheduling the save
+    assert ckpt.latest_step() == 1  # waits implicitly
+    restored = ckpt.restore(1, template={"w": np.zeros(4)})
+    np.testing.assert_allclose(restored["w"], np.arange(4.0))
+    ckpt.wait()

@@ -25,8 +25,25 @@ except Exception:  # pragma: no cover
     _HAS_ORBAX = False
 
 
+def _host_snapshot(state: Any) -> Any:
+    """Materialize an owned host copy of every leaf, so the caller may keep
+    mutating (or donating) its buffers while the background write is in flight.
+    Device arrays already copy on the device->host transfer; host numpy arrays
+    need an explicit copy (np.asarray aliases them)."""
+    return jax.tree.map(
+        lambda x: x.copy() if isinstance(x, np.ndarray) else np.asarray(x), state
+    )
+
+
 class Checkpointer:
-    """Simple orbax-backed checkpointer with best-metric tracking."""
+    """Orbax-backed checkpointer with best-metric tracking.
+
+    Saves are ASYNCHRONOUS: ``save``/``maybe_save_best`` snapshot the state to
+    host memory and return while orbax persists in a background thread, so the
+    training loop never stalls on disk I/O (the reference's torch.save blocks
+    the step; on TPU the device keeps running through the write).  ``wait()``
+    joins all in-flight writes; ``restore``/``latest_step`` wait implicitly.
+    """
 
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
@@ -37,6 +54,7 @@ class Checkpointer:
                 self.directory,
                 options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
             )
+            self._best_ckptr = ocp.StandardCheckpointer()
         self.best_info = self._load_best_info()
 
     def _load_best_info(self) -> Dict:
@@ -46,13 +64,21 @@ class Checkpointer:
                 return json.load(f)
         return {"AP50": -1.0, "iteration": -1}
 
-    def save(self, step: int, state: Any):
+    def save(self, step: int, state: Any, wait: bool = False):
         assert _HAS_ORBAX
-        self._mgr.save(step, args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)))
-        self._mgr.wait_until_finished()
+        self._mgr.save(step, args=ocp.args.StandardSave(_host_snapshot(state)))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def wait(self):
+        """Join all in-flight background writes (call before process exit)."""
+        if _HAS_ORBAX:
+            self._mgr.wait_until_finished()
+            self._best_ckptr.wait_until_finished()
 
     def restore(self, step: Optional[int] = None, template: Any = None):
         assert _HAS_ORBAX
+        self._mgr.wait_until_finished()
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
@@ -63,7 +89,10 @@ class Checkpointer:
         return self._mgr.restore(step)
 
     def latest_step(self) -> Optional[int]:
-        return self._mgr.latest_step() if _HAS_ORBAX else None
+        if not _HAS_ORBAX:
+            return None
+        self._mgr.wait_until_finished()
+        return self._mgr.latest_step()
 
     def maybe_save_best(self, step: int, ap50: float, state: Any) -> bool:
         """Eval-gated best snapshot (detection_checkpoint.py:30-47)."""
@@ -74,14 +103,14 @@ class Checkpointer:
             json.dump(self.best_info, f)
         if _HAS_ORBAX:
             best_dir = os.path.join(self.directory, "best")
-            ckptr = ocp.StandardCheckpointer()
             path = os.path.join(best_dir, "model")
+            # join the previous best-save before replacing its directory
+            self._best_ckptr.wait_until_finished()
             if os.path.exists(path):
                 import shutil
 
                 shutil.rmtree(path)
-            ckptr.save(path, jax.tree.map(np.asarray, state))
-            ckptr.wait_until_finished()
+            self._best_ckptr.save(path, _host_snapshot(state))
         return True
 
 

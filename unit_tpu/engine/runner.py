@@ -429,6 +429,7 @@ def run(args):
         trainer.train(cfg.SOLVER.MAX_ITER, hooks=hooks)
     finally:
         trainer.close()
+        ckpt.wait()  # join async checkpoint writes before the final eval/exit
     results = eval_fn(trainer.state)
     print_csv_format(results)
     return results
