@@ -425,11 +425,38 @@ def run(args):
             cfg.TEST.MIN_EVAL_PERIOD,
         ),
     ]
+    # Preemption safety (TPU pods get SIGTERM ahead of eviction): request a
+    # clean loop exit after the in-flight step, then checkpoint below so
+    # --resume continues from the preempted step.  The reference has no
+    # analogue (crash -> lose everything since the last periodic save).
+    import signal
+
+    prev_handlers = {}
+
+    def _on_preempt(signum, frame):
+        logger.warning("signal %d: stopping after the current step", signum)
+        trainer.request_stop()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_preempt)
+        except ValueError:  # non-main thread (e.g. tests): skip
+            pass
+
     try:
         trainer.train(cfg.SOLVER.MAX_ITER, hooks=hooks)
+        if trainer.stop_requested:
+            step = int(trainer.state.step)
+            if ckpt.latest_step() != step:  # periodic hook may have just saved
+                logger.warning("preempted at iter %d: saving checkpoint", step)
+                ckpt.save(step, jax.device_get(trainer.state), wait=True)
     finally:
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
         trainer.close()
         ckpt.wait()  # join async checkpoint writes before the final eval/exit
+    if trainer.stop_requested:  # preempted: exit promptly, skip the final eval
+        return None
     results = eval_fn(trainer.state)
     print_csv_format(results)
     return results

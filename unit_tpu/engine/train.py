@@ -185,6 +185,7 @@ class TrainerBase:
             model, optimizer, train_only_weak=train_only_weak, mesh=mesh
         )
         self._state: Optional[TrainState] = None
+        self.stop_requested = False
         # host-side mirror of state.step: reading the device counter every step
         # (int(state.step)) is a host round-trip — expensive on remote-attached
         # TPUs where each fetch pays tunnel latency
@@ -245,12 +246,26 @@ class TrainerBase:
         return metrics
 
     def train(self, max_iter: int, hooks=()):
+        """Run until ``state.step`` reaches ``max_iter`` (the reference's
+        ``range(start_iter, max_iter)``, defaults.py d2 loop) — a resumed
+        state continues from its restored step instead of running max_iter
+        MORE steps.  ``request_stop()`` (e.g. from a preemption signal)
+        exits the loop cleanly after the current step."""
         assert self.state is not None, "call init_state() first"
-        for _ in range(max_iter):
+        start = int(self.state.step)
+        self.stop_requested = False
+        for _ in range(start, max_iter):
+            if self.stop_requested:
+                break
             metrics = self.run_step()
             for hook in hooks:
                 hook(self._host_step, metrics, self)
         return self.state
+
+    def request_stop(self):
+        """Ask the training loop to exit after the in-flight step (safe to
+        call from a signal handler or another thread)."""
+        self.stop_requested = True
 
     def close(self):
         """Stop the prefetch threads behind the data iterators (if any)."""
