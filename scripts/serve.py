@@ -84,6 +84,17 @@ def main():
         service.warmup()
     server = DetectionServer(service, host=args.host, port=args.port,
                              metadata=metadata)
+    # graceful shutdown: finish in-flight requests, stop the micro-batcher
+    import signal
+    import threading
+
+    def _stop(signum, frame):
+        print(f"signal {signum}: shutting down", flush=True)
+        # shutdown() blocks until serve_forever returns -> run off-thread
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
     print(f"serving on {args.host}:{server.port}", flush=True)
     server.serve_forever()
 
