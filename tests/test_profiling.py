@@ -31,3 +31,19 @@ def test_profile_hook_window(tmp_path):
         hook(step, {}, trainer=None)
     assert not hook._active
     assert _traced_files(logdir), "hook wrote no profile artifacts"
+
+
+def test_profile_hook_close_mid_window(tmp_path):
+    """Training ending inside the trace window must still finalize the trace
+    (the runner calls close() in its finally; TPU.PROFILE_START_STEP wiring)."""
+    logdir = str(tmp_path / "cut")
+    hook = ProfileHook(logdir, start=1, num_steps=100)
+    f = jax.jit(lambda x: x * 3)
+    for step in range(3):  # ends long before start+num_steps
+        f(jnp.ones((4,))).block_until_ready()
+        hook(step, {}, trainer=None)
+    assert hook._active
+    hook.close()
+    assert not hook._active
+    assert _traced_files(logdir), "close() did not finalize the trace"
+    hook.close()  # idempotent

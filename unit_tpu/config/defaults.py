@@ -292,6 +292,9 @@ def get_cfg() -> CN:
     _C.TPU.EVAL_BATCH_SIZE = 1           # non-TTA eval batch (ref is batch-1 only,
     #                                      rcnn.py:494; our predict path is batched)
     _C.TPU.DEBUG_NANS = False            # jax_debug_nans (device-side NaN traps)
+    _C.TPU.PROFILE_START_STEP = 0        # >0: jax.profiler trace of the live run
+    _C.TPU.PROFILE_NUM_STEPS = 3         # ... covering this many steps, written
+    #                                      to OUTPUT_DIR/trace (view in XProf)
 
     # ------------------------------------------------------------- ENGINE (new)
     # The reference selects trainer classes by editing the entry script

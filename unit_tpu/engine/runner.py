@@ -412,6 +412,16 @@ def run(args):
     hooks = [
         MetricsHook(cfg.OUTPUT_DIR, period=20, max_iter=cfg.SOLVER.MAX_ITER),
     ]
+    profile_hook = None
+    if cfg.TPU.PROFILE_START_STEP > 0:
+        from ..utils.profiling import ProfileHook
+
+        profile_hook = ProfileHook(
+            os.path.join(cfg.OUTPUT_DIR, "trace"),
+            start=cfg.TPU.PROFILE_START_STEP,
+            num_steps=cfg.TPU.PROFILE_NUM_STEPS,
+        )
+        hooks.append(profile_hook)
     if cfg.TEST.PRECISE_BN.ENABLED:
         hooks.append(PreciseBNHook(
             model, cfg,
@@ -453,6 +463,8 @@ def run(args):
     finally:
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
+        if profile_hook is not None:
+            profile_hook.close()  # training may have ended inside the window
         trainer.close()
         ckpt.wait()  # join async checkpoint writes before the final eval/exit
     if trainer.stop_requested:  # preempted: exit promptly, skip the final eval

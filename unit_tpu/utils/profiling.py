@@ -49,6 +49,11 @@ class ProfileHook:
             jax.profiler.start_trace(self.logdir)
             self._active = True
         elif step >= self.stop and self._active:
+            self.close()
+
+    def close(self):
+        """Stop an in-flight trace (e.g. training ended inside the window)."""
+        if self._active:
             jax.profiler.stop_trace()
             self._active = False
             logger.info("profile trace written to %s", self.logdir)
