@@ -172,6 +172,21 @@ int decode_image_size_mem(const unsigned char* data, long len, int* h,
 // min_size (the train pipeline samples one per record) and an optional
 // horizontal flip, all inside one GIL-free call.
 // out_image: [canvas_h, canvas_w, 3] float32; out_size: [2]; out_scale: [1].
+
+// Resized dims matching the Python fallback exactly (transforms.py
+// resize_shortest_edge): double-precision scale and round-half-to-even
+// (Python round()), so the native and PIL paths agree on every image.
+static void ResizedDims(int h, int w, int min_size, int max_size, int canvas_h,
+                        int canvas_w, int* nh, int* nw, float* scale_out) {
+  double scale = static_cast<double>(min_size) / std::min(h, w);
+  if (std::max(h, w) * scale > max_size) {
+    scale = static_cast<double>(max_size) / std::max(h, w);
+  }
+  *nh = std::max(std::min(static_cast<int>(std::nearbyint(h * scale)), canvas_h), 1);
+  *nw = std::max(std::min(static_cast<int>(std::nearbyint(w * scale)), canvas_w), 1);
+  *scale_out = static_cast<float>(scale);
+}
+
 int prepare_image(const char* path, int min_size, int max_size, int canvas_h,
                   int canvas_w, int flip, float* out_image, float* out_size,
                   float* out_scale) {
@@ -184,14 +199,9 @@ int prepare_image(const char* path, int min_size, int max_size, int canvas_h,
     out_scale[0] = 1.0f;
     return 1;
   }
-  float scale = static_cast<float>(min_size) / std::min(h, w);
-  if (std::max(h, w) * scale > max_size) {
-    scale = static_cast<float>(max_size) / std::max(h, w);
-  }
-  int nh = std::min(static_cast<int>(std::lround(h * scale)), canvas_h);
-  int nw = std::min(static_cast<int>(std::lround(w * scale)), canvas_w);
-  nh = std::max(nh, 1);
-  nw = std::max(nw, 1);
+  float scale;
+  int nh, nw;
+  ResizedDims(h, w, min_size, max_size, canvas_h, canvas_w, &nh, &nw, &scale);
   ResizeToCanvas(rgb.data(), h, w, out_image, canvas_h, canvas_w, nh, nw,
                  flip != 0);
   out_size[0] = static_cast<float>(nh);
@@ -218,14 +228,9 @@ int prepare_image_mem(const unsigned char* data, long len, int min_size,
     out_orig[0] = out_orig[1] = 0;
     return 1;
   }
-  float scale = static_cast<float>(min_size) / std::min(h, w);
-  if (std::max(h, w) * scale > max_size) {
-    scale = static_cast<float>(max_size) / std::max(h, w);
-  }
-  int nh = std::min(static_cast<int>(std::lround(h * scale)), canvas_h);
-  int nw = std::min(static_cast<int>(std::lround(w * scale)), canvas_w);
-  nh = std::max(nh, 1);
-  nw = std::max(nw, 1);
+  float scale;
+  int nh, nw;
+  ResizedDims(h, w, min_size, max_size, canvas_h, canvas_w, &nh, &nw, &scale);
   ResizeToCanvas(rgb.data(), h, w, out_image, canvas_h, canvas_w, nh, nw,
                  flip != 0);
   out_size[0] = static_cast<float>(nh);
@@ -260,14 +265,9 @@ int prepare_batch(const char** paths, int n, int min_size, int max_size,
         out_scales[i] = 1.0f;
         continue;
       }
-      float scale = static_cast<float>(min_size) / std::min(h, w);
-      if (std::max(h, w) * scale > max_size) {
-        scale = static_cast<float>(max_size) / std::max(h, w);
-      }
-      int nh = std::min(static_cast<int>(std::lround(h * scale)), canvas_h);
-      int nw = std::min(static_cast<int>(std::lround(w * scale)), canvas_w);
-      nh = std::max(nh, 1);
-      nw = std::max(nw, 1);
+      float scale;
+      int nh, nw;
+      ResizedDims(h, w, min_size, max_size, canvas_h, canvas_w, &nh, &nw, &scale);
       ResizeToCanvas(rgb.data(), h, w, canvas, canvas_h, canvas_w, nh, nw);
       out_sizes[i * 2] = static_cast<float>(nh);
       out_sizes[i * 2 + 1] = static_cast<float>(nw);

@@ -65,6 +65,18 @@ def main():
     cfg.SOLVER.IMS_PER_BATCH = 4  # GLOBAL batch: 2 per host, 1 per device
     RegisterVOC(cfg, voc_root).register_all()
 
+    # make the strong stream mixed-orientation: exercises the host-synchronized
+    # aspect-ratio schedule (loader._iter_synced) for real — without it, hosts
+    # emit different-shaped batches in the same step and the collectives hang
+    # pattern PPLLPPLL...: _host_shard strides by process id, so BOTH hosts'
+    # shards keep both orientations (recs[::2] would give host 0 all-portrait,
+    # host 1 all-landscape — unsatisfiable schedule by design)
+    for name in cfg.DATASETS.TRAIN:
+        recs = DatasetCatalog.get(name)  # cached: mutation sticks
+        for i, r in enumerate(recs):
+            if (i // 2) % 2 == 0:
+                r["height"], r["width"] = r["width"], r["height"]
+
     import unit_tpu.data.transforms as T
 
     T.load_image_bgr = lambda path: None

@@ -136,3 +136,22 @@ def test_stream_loader_uses_native_path(native_lib, jpeg_files, tmp_path):
     # GT got scaled into network-input coordinates
     valid_boxes = batch["gt_boxes"][batch["gt_valid"]]
     assert (valid_boxes[:, 2] <= 192).all() and (valid_boxes >= 0).all()
+
+
+def test_resize_rounding_matches_python_on_ties(native_lib, tmp_path):
+    """Half-integer resized dims must round like Python round() (half to
+    even), not lround (half away from zero): 25x24 at min_size 12 scales by
+    exactly 0.5 -> 12.5, which Python rounds to 12."""
+    from PIL import Image
+
+    from unit_tpu.data.transforms import resize_shortest_edge
+
+    h, w = 25, 24
+    p = str(tmp_path / "tie.jpg")
+    Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(p, quality=95)
+    exp_h, exp_w, _ = resize_shortest_edge(h, w, 12, 100)
+    assert (exp_h, exp_w) == (12, 12)  # the tie actually exercises banker's
+    image, (nh, nw), scale = native_mod.prepare_image_native(
+        p, 12, 100, (32, 32)
+    )
+    assert (nh, nw) == (exp_h, exp_w)

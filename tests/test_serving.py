@@ -250,3 +250,38 @@ def test_http_server_end_to_end(model_and_vars):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_with_proposals_artifact_rejected():
+    """A dock-style (precomputed-proposal) artifact takes 4 inputs the HTTP
+    path cannot supply — the service must refuse it up front, not crash on
+    the first request."""
+    import types
+
+    from unit_tpu.serving import DetectionService
+
+    exported = types.SimpleNamespace(meta={"with_proposals": True})
+    with pytest.raises(ValueError, match="with_proposals"):
+        DetectionService(_serving_cfg(), exported=exported)
+
+
+def test_microbatcher_close_fails_stranded_requests():
+    """A request that lands behind the stop sentinel must be failed with an
+    error, not left blocking its submit() caller forever."""
+    import threading
+
+    from unit_tpu.serving.server import _MicroBatcher, _STOP
+
+    mb = _MicroBatcher(lambda img, sz: None, batch_size=2, wait_ms=1.0)
+    # stop the dispatcher, then strand a request behind the sentinel
+    mb._q.put(_STOP)
+    mb._thread.join(timeout=5)
+    item = {
+        "image": np.zeros((4, 4, 3), np.float32),
+        "size": np.ones(2, np.float32),
+        "event": threading.Event(),
+    }
+    mb._q.put(item)
+    mb.close()
+    assert item["event"].is_set()
+    assert isinstance(item.get("error"), RuntimeError)

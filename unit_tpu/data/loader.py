@@ -18,7 +18,9 @@ from typing import Callable, Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from .catalog import DatasetCatalog
-from .transforms import TransformConfig, collate, prepare_detection_record
+from .transforms import (
+    TransformConfig, collate, oriented_canvas, prepare_detection_record,
+)
 
 _STRONG_KEYS = ("image", "image_size", "gt_boxes", "gt_classes", "gt_valid")
 _WEAK_KEYS = ("image", "image_size", "labels")
@@ -105,49 +107,61 @@ class StreamLoader:
         seed: int = 0,
         training: bool = True,
         image_loader: Optional[Callable[[dict], np.ndarray]] = None,
+        sync_portrait_frac: Optional[float] = None,
     ):
         assert records, "empty dataset"
         self.records = records
         self.tcfg = tcfg
         self.batch_size = batch_size
         self.keys = keys
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.training = training
         self.image_loader = image_loader
+        # Multi-host SPMD: every process must emit the SAME batch shape each
+        # step (mesh.shard_batch assembles one global array; mismatched
+        # orientations would compile different programs per host and deadlock
+        # the collectives).  When set, the batch's canvas orientation is drawn
+        # from a schedule shared by all hosts: same seed + same global
+        # portrait fraction -> identical orientation sequence everywhere,
+        # while each host still samples its own record shard.
+        self.sync_portrait_frac = sync_portrait_frac
 
     def _load(self, rec):
+        # Draw the augmentation parameters ONCE, up front: the native path
+        # and the PIL fallback must consume identical rng draws, or a single
+        # undecodable file would shift the augmentation stream of every
+        # subsequent record (and de-synchronize multi-host runs where only
+        # some hosts have the native library).
+        t = self.tcfg
+        min_size = (
+            t.min_sizes[self.rng.randint(len(t.min_sizes))]
+            if self.training else t.min_sizes[0]
+        )
+        flip = bool(self.training and t.flip and self.rng.rand() < 0.5)
         if self.image_loader is None and _native_eligible(rec):
             try:
-                return self._load_native(rec)
+                return self._load_native(rec, min_size, flip)
             except RuntimeError:
                 pass  # undecodable file -> PIL fallback
         img = self.image_loader(rec) if self.image_loader else None
-        return prepare_detection_record(rec, self.tcfg, self.rng, image=img,
-                                        training=self.training)
+        return prepare_detection_record(rec, t, self.rng, image=img,
+                                        training=self.training,
+                                        aug=(min_size, flip))
 
-    def _load_native(self, rec):
+    def _load_native(self, rec, min_size: int, flip: bool):
         """decode+resize+flip+canvas in the C runtime (GIL-free); only the
         annotation transform stays in Python."""
         from . import native as native_lib
 
         t = self.tcfg
-        rng = self.rng
-        min_size = (
-            t.min_sizes[rng.randint(len(t.min_sizes))]
-            if self.training else t.min_sizes[0]
-        )
-        flip = bool(self.training and t.flip and rng.rand() < 0.5)
         h, w = int(rec["height"]), int(rec["width"])
-        ch, cw = t.canvas
-        if h > w:
-            ch, cw = max(ch, cw), min(ch, cw)
-        else:
-            ch, cw = min(ch, cw), max(ch, cw)
+        ch, cw = oriented_canvas(h, w, t.canvas)
         image, (nh, nw), scale = native_lib.prepare_image_native(
             rec["file_name"], min_size, t.max_size, (ch, cw), flip
         )
         return prepare_detection_record(
-            rec, t, rng, training=self.training,
+            rec, t, self.rng, training=self.training,
             preprocessed=(image, nh, nw, scale, flip),
         )
 
@@ -155,7 +169,12 @@ class StreamLoader:
         """Aspect-ratio-grouped batching (d2 AspectRatioGroupedDataset,
         SURVEY.md §2.4): landscape and portrait samples go to separate buckets
         (different fixed canvases -> two compile variants), a batch is emitted
-        whenever one bucket fills."""
+        whenever one bucket fills.  With ``sync_portrait_frac`` set (multi-host
+        runs), each batch's orientation instead follows a host-synchronized
+        schedule so every process emits the same shape each step."""
+        if self.sync_portrait_frac is not None:
+            yield from self._iter_synced()
+            return
         order: List[int] = []
         buckets: Dict[tuple, List[dict]] = {}
         while True:
@@ -168,6 +187,41 @@ class StreamLoader:
                 batch, buckets[key] = buckets[key], []
                 yield collate(batch, self.keys)
 
+    def _iter_synced(self) -> Iterator[dict]:
+        """Host-synchronized orientation schedule.  Orientation is known from
+        record metadata (height/width) without decoding, so records are picked
+        to match the scheduled orientation instead of loaded speculatively."""
+        ch, cw = self.tcfg.canvas
+        if ch == cw:  # square canvas: every batch has the same shape anyway
+            self.sync_portrait_frac = None
+            yield from self.__iter__()
+            return
+        is_portrait = [int(r["height"]) > int(r["width"]) for r in self.records]
+        have = {True: any(is_portrait), False: not all(is_portrait)}
+        orient_rng = np.random.RandomState((self.seed + 0x5EED) % 2**31)
+        order: List[int] = []
+        pend: Dict[bool, List[int]] = {True: [], False: []}
+        while True:
+            want = bool(orient_rng.rand() < self.sync_portrait_frac)
+            if not have[want]:
+                raise RuntimeError(
+                    f"host data shard has no "
+                    f"{'portrait' if want else 'landscape'} images but the "
+                    f"global dataset does — the synchronized multi-host "
+                    f"orientation schedule cannot be satisfied; use more "
+                    f"records per host or a square canvas"
+                )
+            batch = []
+            while len(batch) < self.batch_size:
+                if pend[want]:
+                    batch.append(self._load(self.records[pend[want].pop()]))
+                    continue
+                if not order:
+                    order = list(self.rng.permutation(len(self.records)))
+                i = order.pop()
+                pend[is_portrait[i]].append(i)
+            yield collate(batch, self.keys)
+
 
 def _host_shard(records):
     """Multi-host data parallelism: each process owns a disjoint slice of the
@@ -177,6 +231,19 @@ def _host_shard(records):
     if jax.process_count() > 1:
         return records[jax.process_index()::jax.process_count()]
     return records
+
+
+def _sync_portrait_frac(records):
+    """Global portrait fraction for the host-synchronized orientation
+    schedule (StreamLoader._iter_synced).  Must be computed on the FULL
+    record list BEFORE _host_shard so every process derives the same value;
+    returns None single-process (plain aspect-ratio bucketing applies)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return None
+    n = sum(1 for r in records if int(r["height"]) > int(r["width"]))
+    return n / max(len(records), 1)
 
 
 def _per_host_batch(global_batch: int) -> int:
@@ -199,6 +266,7 @@ def build_strong_loader(cfg, dataset_names=None, seed=0, image_loader=None,
                         batch_size=None) -> StreamLoader:
     names = dataset_names or cfg.DATASETS.TRAIN
     records = list(itertools.chain.from_iterable(DatasetCatalog.get(n) for n in names))
+    sync_frac = _sync_portrait_frac(records)
     records = _host_shard(records)
     keys = _STRONG_KEYS + (("gt_masks",) if cfg.MODEL.MASK_ON else ())
     tcfg = TransformConfig.train_from_cfg(cfg)
@@ -217,7 +285,7 @@ def build_strong_loader(cfg, dataset_names=None, seed=0, image_loader=None,
     return StreamLoader(
         records, tcfg,
         batch_size or _per_host_batch(cfg.SOLVER.IMS_PER_BATCH), keys, seed=seed,
-        image_loader=image_loader,
+        image_loader=image_loader, sync_portrait_frac=sync_frac,
     )
 
 
@@ -227,6 +295,7 @@ def build_classifier_loader(cfg, seed=1, image_loader=None, batch_size=None) -> 
         names = (names,)
     records = list(itertools.chain.from_iterable(DatasetCatalog.get(n) for n in names))
     records = sample_classifier_dataset(cfg, records)
+    sync_frac = _sync_portrait_frac(records)
     records = _host_shard(records)
     tcfg = TransformConfig.train_from_cfg(cfg)
     keys = _WEAK_KEYS
@@ -242,7 +311,7 @@ def build_classifier_loader(cfg, seed=1, image_loader=None, batch_size=None) -> 
     return StreamLoader(
         records, tcfg,
         batch_size or _per_host_batch(cfg.SOLVER.IMS_PER_BATCH), keys, seed=seed,
-        image_loader=image_loader,
+        image_loader=image_loader, sync_portrait_frac=sync_frac,
     )
 
 
@@ -258,12 +327,13 @@ def build_classifier_strong_loader(cfg, seed=0, image_loader=None,
     records = list(itertools.chain.from_iterable(DatasetCatalog.get(n) for n in names))
     records = sample_classifier_dataset(cfg, records)
     records = [r for r in records if r.get("annotations")]
+    sync_frac = _sync_portrait_frac(records)
     records = _host_shard(records)
     keys = _STRONG_KEYS + (("gt_masks",) if cfg.MODEL.MASK_ON else ())
     return StreamLoader(
         records, TransformConfig.train_from_cfg(cfg),
         batch_size or _per_host_batch(cfg.SOLVER.IMS_PER_BATCH), keys, seed=seed,
-        image_loader=image_loader,
+        image_loader=image_loader, sync_portrait_frac=sync_frac,
     )
 
 
@@ -331,11 +401,7 @@ def _make_test_record_loader(tcfg, rng, image_loader, records):
     def load_one(rec):
         if image_loader is None and _native_eligible(rec):
             h, w = int(rec["height"]), int(rec["width"])
-            ch, cw = tcfg.canvas
-            if h > w:
-                ch, cw = max(ch, cw), min(ch, cw)
-            else:
-                ch, cw = min(ch, cw), max(ch, cw)
+            ch, cw = oriented_canvas(h, w, tcfg.canvas)
             try:
                 image, (nh, nw), scale = native_lib.prepare_image_native(
                     rec["file_name"], tcfg.min_sizes[0], tcfg.max_size, (ch, cw)

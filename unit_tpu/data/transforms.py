@@ -59,6 +59,18 @@ def _canvas_for(min_size: int, max_size: int, divisibility: int) -> Tuple[int, i
     return (rup(min_size), rup(max_size))
 
 
+def oriented_canvas(h: int, w: int, canvas: Tuple[int, int]) -> Tuple[int, int]:
+    """Orientation-bucketed fixed canvas (d2 AspectRatioGroupedDataset
+    equivalent): portrait content (h > w) gets the transposed canvas so tall
+    images are never cropped — one compile bucket per orientation.  The SINGLE
+    source of this rule; the loaders, transforms and serving path must agree
+    or a request lands on a canvas with no compiled program."""
+    ch, cw = canvas
+    if h > w:
+        return max(ch, cw), min(ch, cw)
+    return min(ch, cw), max(ch, cw)
+
+
 def resize_shortest_edge(h: int, w: int, min_size: int, max_size: int) -> Tuple[int, int, float]:
     """New (h, w, scale) with shortest edge = min_size, longest capped at max_size."""
     scale = min_size / min(h, w)
@@ -101,6 +113,7 @@ def prepare_detection_record(
     image: np.ndarray | None = None,
     training: bool = True,
     preprocessed: tuple | None = None,
+    aug: tuple | None = None,
 ) -> dict:
     """record dict -> fixed-shape arrays for one image.
 
@@ -111,6 +124,10 @@ def prepare_detection_record(
     decode+resize(+flip)+canvas work was already done (by the native C loader,
     data/native.py); only the annotation-side transform runs here, with the GT
     flip mirrored when the image was pre-flipped.
+
+    ``aug=(min_size, flip)``: the caller already drew the augmentation
+    parameters (StreamLoader._load draws them once so the native path and the
+    PIL fallback stay on the same rng stream); no draws happen here.
     """
     if preprocessed is not None:
         canvas, new_h, new_w, scale = preprocessed[:4]
@@ -120,19 +137,17 @@ def prepare_detection_record(
         if image is None:
             image = load_image_bgr(record["file_name"])
         h, w = image.shape[:2]
-        min_size = tcfg.min_sizes[rng.randint(len(tcfg.min_sizes))] if training else tcfg.min_sizes[0]
-        new_h, new_w, scale = resize_shortest_edge(h, w, min_size, tcfg.max_size)
-        ch, cw = tcfg.canvas
-        # aspect-ratio bucketing (d2 AspectRatioGroupedDataset equivalent): portrait
-        # images use the transposed canvas so tall content is never cropped
-        if h > w:
-            ch, cw = max(ch, cw), min(ch, cw)
+        if aug is not None:
+            min_size = aug[0]
         else:
-            ch, cw = min(ch, cw), max(ch, cw)
+            min_size = tcfg.min_sizes[rng.randint(len(tcfg.min_sizes))] if training else tcfg.min_sizes[0]
+        new_h, new_w, scale = resize_shortest_edge(h, w, min_size, tcfg.max_size)
+        ch, cw = oriented_canvas(h, w, tcfg.canvas)
         new_h, new_w = min(new_h, ch), min(new_w, cw)
         img = resize_image(image, new_h, new_w)
 
-        flipped = training and tcfg.flip and rng.rand() < 0.5
+        flipped = (bool(aug[1]) if aug is not None
+                   else training and tcfg.flip and rng.rand() < 0.5)
         if flipped:
             img = img[:, ::-1]
 

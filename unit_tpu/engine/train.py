@@ -111,6 +111,7 @@ def make_train_step(
             donate_argnums=(0,),
             in_shardings=(repl, None, None, repl, repl),
             out_shardings=(repl, repl),
+            compiler_options=_compiler_options(),
         )
     data = mesh_lib.data_sharded(mesh)
     return jax.jit(
@@ -118,6 +119,7 @@ def make_train_step(
         donate_argnums=(0,),
         in_shardings=(repl, data, data, repl, repl),
         out_shardings=(repl, repl),
+        compiler_options=_compiler_options(),
     )
 
 

@@ -69,6 +69,8 @@ def inference_on_dataset(
     # dispatch/fetch round trip and runs the evaluator — measured ~2x on
     # batch-1 eval through axon (0.076 -> device-bound s/img).
     pending = None
+    if warmup <= 0:  # no warmup exclusion: time everything, compile included
+        t_start = time.perf_counter()
     for batch_idx, batch in enumerate(loader):
         det = dispatch(batch)
         if pending is not None:

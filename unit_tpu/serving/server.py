@@ -86,6 +86,18 @@ class _MicroBatcher:
         self._thread.join(timeout=5)
         self._fetch_q.put(_STOP)
         self._fetch_thread.join(timeout=5)
+        # requests still queued (or requeued cross-orientation items that
+        # landed behind the stop sentinel) would otherwise block their
+        # submit() callers forever — fail them explicitly
+        err = RuntimeError("MicroBatcher closed with requests pending")
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not _STOP:
+                item["error"] = err
+                item["event"].set()
 
     # -- dispatcher thread -------------------------------------------------
     def _loop(self):
@@ -192,6 +204,16 @@ class DetectionService:
         self._rng = np.random.RandomState(0)
         self._lock = threading.Lock()  # transform rng + jax dispatch ordering
         if exported is not None:
+            if exported.meta.get("with_proposals"):
+                # dock-style programs take (image, size, proposals, valid);
+                # an HTTP request carries no precomputed proposals to feed
+                raise ValueError(
+                    "artifact was exported with_proposals=True (precomputed-"
+                    "proposal model); DetectionService cannot source per-image "
+                    "proposals for arbitrary requests — re-export with "
+                    "with_proposals=False (RPN models) or use the eval CLI "
+                    "with DATASETS.PROPOSAL_FILES_TEST"
+                )
             self._predict = exported
             if exported.meta.get("class_names") and not self.class_names:
                 self.class_names = exported.meta["class_names"]
@@ -250,11 +272,9 @@ class DetectionService:
         )
 
     def _canvas_for(self, h: int, w: int):
-        """Orientation-bucketed canvas (same rule as prepare_detection_record)."""
-        ch, cw = self.tcfg.canvas
-        if h > w:
-            return (max(ch, cw), min(ch, cw))
-        return (min(ch, cw), max(ch, cw))
+        from ..data.transforms import oriented_canvas
+
+        return oriented_canvas(h, w, self.tcfg.canvas)
 
     def _detect_prepared(self, image, image_size, scale, h, w):
         size = np.asarray(image_size, np.float32)
