@@ -60,6 +60,44 @@ def test_dp_matches_single_device_loss():
 
 
 @pytest.mark.slow
+def test_fsdp_matches_single_device():
+    """FSDP (params + opt state sharded over 'data'): XLA inserts per-layer
+    all-gathers and a gradient reduce-scatter; losses AND the updated params
+    must match the single-device step."""
+    from unit_tpu.parallel import fsdp_shard, fsdp_sharding
+
+    mesh = make_mesh(8)
+    mc = tiny_config()
+    model = WSRCNN(mc=mc)
+    opt = optax.sgd(1e-2, momentum=0.9)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0))
+
+    strong, weak = _strong_batch(b=8), _weak_batch(b=8)
+    step1 = make_train_step(model, opt)
+    s1, m1 = step1(state, strong, weak, None, jax.random.PRNGKey(7))
+
+    state_f = fsdp_shard(mesh, create_train_state(model, opt, jax.random.PRNGKey(0)))
+    stepf = make_train_step(
+        model, opt, mesh=mesh, state_sharding=fsdp_sharding(mesh, state_f)
+    )
+    sf, mf = stepf(state_f, shard_batch(mesh, strong), shard_batch(mesh, weak), None,
+                   jax.random.PRNGKey(7))
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(mf[k]), rtol=2e-4, atol=1e-5)
+
+    # at least one large leaf is genuinely sharded 8-ways, and stays so
+    w_f = sf.params["backbone"]["res4"]["block0"]["conv1"]["kernel"]
+    assert not w_f.sharding.is_fully_replicated
+    assert len(w_f.sharding.device_set) == 8
+
+    # updated params equal the single-device update (gathered)
+    flat1 = jax.tree.leaves(s1.params)
+    flatf = jax.tree.leaves(jax.device_get(sf.params))
+    for a, b in zip(flat1, flatf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_spatial_2d_mesh_matches_single_device_loss():
     """(data x spatial) 2-D mesh: images sharded on (batch, height); XLA's SPMD
     partitioner splits the backbone convs spatially (halo exchange) and gathers

@@ -61,11 +61,18 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     train_only_weak: bool = False,
     mesh=None,
+    state_sharding=None,
 ) -> Callable:
     """Build the jitted (state, strong, weak, rng) -> (state, metrics) step.
 
     With a mesh, batches are sharded over the 'data' axis and params replicated;
     XLA inserts the gradient all-reduce (replaces DDP, engine/defaults.py:282-285).
+
+    With ``state_sharding`` (a TrainState-structured tree of NamedShardings,
+    e.g. from ``parallel.fsdp_sharding(mesh, state)``), parameters and
+    optimizer state live sharded over the data axis too (FSDP): XLA inserts
+    per-layer all-gathers and a gradient reduce-scatter instead of DDP's
+    replicate + all-reduce.
     """
 
     # train-mode dropout applies only to the VGG fc heads (torch .train()
@@ -114,11 +121,12 @@ def make_train_step(
             compiler_options=_compiler_options(),
         )
     data = mesh_lib.data_sharded(mesh)
+    state_sh = repl if state_sharding is None else state_sharding
     return jax.jit(
         step_fn,
         donate_argnums=(0,),
-        in_shardings=(repl, data, data, repl, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, data, repl, repl),
+        out_shardings=(state_sh, repl),
         compiler_options=_compiler_options(),
     )
 

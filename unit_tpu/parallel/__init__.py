@@ -5,9 +5,11 @@ from .mesh import (
     data_sharded,
     shard_batch,
     replicate,
+    fsdp_sharding,
+    fsdp_shard,
 )
 
 __all__ = [
     "DATA_AXIS", "make_mesh", "replicated", "data_sharded", "shard_batch",
-    "replicate",
+    "replicate", "fsdp_sharding", "fsdp_shard",
 ]
