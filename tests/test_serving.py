@@ -216,6 +216,40 @@ def test_detect_bytes_native_jpeg_path(model_and_vars, monkeypatch):
 
 
 @pytest.mark.slow
+def test_detect_bytes_device_error_propagates(model_and_vars, monkeypatch):
+    """A device-side RuntimeError (XlaRuntimeError subclasses it) raised during
+    prediction on the native JPEG path must propagate to the caller — NOT be
+    swallowed by the corrupt-JPEG fallback and silently re-run through PIL."""
+    import io
+
+    from PIL import Image
+
+    from unit_tpu.data import native
+    from unit_tpu.serving import DetectionService
+
+    if not (native.available() and hasattr(native.load_library(), "prepare_image_mem")):
+        pytest.skip("native library not built")
+
+    model, variables = model_and_vars
+    svc = DetectionService(_serving_cfg(), model=model, params=variables["params"])
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.random.RandomState(3).rand(90, 120, 3) * 255).astype(np.uint8)
+    ).save(buf, format="JPEG", quality=95)
+
+    calls = []
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise RuntimeError("simulated device failure")
+
+    monkeypatch.setattr(svc, "_predict", boom)
+    with pytest.raises(RuntimeError, match="simulated device failure"):
+        svc.detect_bytes(buf.getvalue())
+    assert len(calls) == 1  # no second (PIL-path) inference attempt
+
+
+@pytest.mark.slow
 def test_http_server_end_to_end(model_and_vars):
     from unit_tpu.serving import DetectionServer, DetectionService
 

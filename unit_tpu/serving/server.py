@@ -242,15 +242,20 @@ class DetectionService:
         from ..data import native
 
         if data[:2] == b"\xff\xd8" and native.available():
+            prepared = None
             try:
                 h, w = native.decode_image_size_mem_native(data)
-                image, (nh, nw), scale, _ = native.prepare_image_mem_native(
+                prepared = native.prepare_image_mem_native(
                     data, self.tcfg.min_sizes[0], self.tcfg.max_size,
                     self._canvas_for(h, w),
                 )
-                return self._detect_prepared(image, (nh, nw), scale, h, w)
             except RuntimeError:
                 pass  # corrupt JPEG: let PIL produce the error/result
+            if prepared is not None:
+                # outside the try: a device-side RuntimeError (XlaRuntimeError
+                # subclasses it) must propagate, not silently rerun via PIL
+                image, (nh, nw), scale, _ = prepared
+                return self._detect_prepared(image, (nh, nw), scale, h, w)
         from PIL import Image
 
         img = Image.open(io.BytesIO(data)).convert("RGB")
