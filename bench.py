@@ -1,13 +1,23 @@
 """Benchmark: training throughput (images/sec/chip) of the flagship UniT detector.
 
-Runs the full two-stream (strong query + weak classifier) R-50-C4 training step —
+Runs the full two-stream (strong query + weak classifier) R-C4 training step —
 backbone x2, RPN + losses, ROIAlign over 512+512 proposals, Res5 box heads,
 supervised CE/box losses, MIL + 3x OICR losses, SGD update — on one chip with
-synthetic data at the reference's input resolution, and prints ONE JSON line.
+synthetic data at the reference's input resolution, and prints one JSON line
+per model (LAST line = the flagship R-101-C4 headline).
+
+Measured at STEADY STATE (round 3): the step first trains 400 iterations at a
+real learning rate over 4 rotating synthetic batches so the RPN reaches its
+production proposal-size regime (verified: post-NMS proposal sqrt-area
+p10/p50/p90 = 91/125/183 px, the trained-RPN tier of BASELINE.md's ROIAlign
+regime microbenchmarks), then times with the SAME compiled program at a tiny
+lr.  A random-init RPN instead emits a degenerate box mix that misprices
+ROIAlign; that from-init number is still reported as ``init_regime_value``
+for continuity with rounds 1-2.
 
 vs_baseline compares against the reference stack's measured/estimated
-~2.5 images/sec/GPU for the same recipe (Detectron2 R-C4 at IMS_PER_BATCH 8 over
-4 GPUs; the reference repo publishes no numbers — see BASELINE.md).
+~2.5 images/sec/GPU for the same recipe (Detectron2 R-C4 at IMS_PER_BATCH 8
+over 4 GPUs; the reference repo publishes no numbers — see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -18,7 +28,7 @@ import time
 
 import jax
 
-# persistent compilation cache: full-step compiles take 20-40 min through the
+# persistent compilation cache: full-step compiles take minutes through the
 # remote-compile tunnel; cache hits make repeat benchmark runs start in seconds
 jax.config.update(
     "jax_compilation_cache_dir",
@@ -28,12 +38,48 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 REFERENCE_IMG_PER_SEC_PER_CHIP = 2.5  # documented assumption, BASELINE.md
+WARMUP_STEPS = 400  # real-lr steps to reach the trained-RPN proposal regime
 
 
-def _measure(depth: int) -> float:
+def _make_batches(mc, n_batches=4, b=2, h=800, w=1344):
+    """Distinct pre-staged device batches: rotating them during warmup makes
+    the RPN learn the GT box-size DISTRIBUTION (30-230 px, VOC-like) without
+    memorizing one layout into unrealistically tight proposals."""
+    rng = np.random.RandomState(0)
+    base = np.asarray(mc.base_ids)
+    out = []
+    for _ in range(n_batches):
+        boxes = np.zeros((b, 8, 4), np.float32)
+        boxes[..., 0] = rng.rand(b, 8) * (w - 260)
+        boxes[..., 1] = rng.rand(b, 8) * (h - 260)
+        boxes[..., 2:] = boxes[..., :2] + 30 + rng.rand(b, 8, 2) * 200
+        strong = {
+            "image": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32) * 255,
+            # base-class ids only: base training's supervised stream never
+            # contains novel-class boxes (VOC split-1 removes them); novel GT
+            # would hit the -inf novel-logit mask -> a clamped ~1e6 CE term
+            "gt_boxes": jnp.asarray(boxes),
+            "gt_classes": jnp.asarray(
+                base[rng.randint(0, len(base), (b, 8))], jnp.int32
+            ),
+            "gt_valid": jnp.ones((b, 8), bool),
+            "image_size": jnp.asarray([[h, w]] * b, jnp.float32),
+        }
+        labels = np.zeros((b, 20), np.float32)
+        labels[np.arange(b)[:, None], rng.randint(0, 20, (b, 3))] = 1.0
+        weak = {
+            "image": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32) * 255,
+            "labels": jnp.asarray(labels),
+            "image_size": jnp.asarray([[h, w]] * b, jnp.float32),
+        }
+        out.append((jax.device_put(strong), jax.device_put(weak)))
+    return out
+
+
+def _measure(depth: int):
+    """-> (steady_state_img_per_s, init_regime_img_per_s)."""
     from __graft_entry__ import _bench_optimizer, _model_config
     from unit_tpu.engine import create_train_state, make_train_step
     from unit_tpu.models import WSRCNN
@@ -43,56 +89,48 @@ def _measure(depth: int) -> float:
     if depth != mc.depth:
         mc = dataclasses.replace(mc, depth=depth)
     model = WSRCNN(mc=mc)
-    # tiny lr: keeps the full forward+backward+update graph (lr=0 would let XLA
-    # fold away the whole backward pass) without diverging on synthetic data.
-    # Freeze semantics match the shipped recipe (FREEZE_AT 2): see
-    # __graft_entry__._bench_optimizer.
-    opt = _bench_optimizer(1e-6, momentum=0.9)
+    opt = _bench_optimizer(1e-6, momentum=0.9, steady_after=WARMUP_STEPS)
 
     # per-chip batch: 2 strong + 2 weak images at the 800-canvas
     b = 2
-    h, w = 800, 1344
     state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 256, 256, 3))
-
-    rng = np.random.RandomState(0)
-    boxes = np.zeros((b, 8, 4), np.float32)
-    boxes[..., :2] = rng.rand(b, 8, 2) * 300
-    boxes[..., 2:] = boxes[..., :2] + 30 + rng.rand(b, 8, 2) * 200
-    strong = {
-        "image": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32) * 255,
-        "gt_boxes": jnp.asarray(boxes),
-        "gt_classes": jnp.asarray(rng.randint(0, 15, (b, 8)), jnp.int32),
-        "gt_valid": jnp.ones((b, 8), bool),
-        "image_size": jnp.asarray([[h, w]] * b, jnp.float32),
-    }
-    labels = np.zeros((b, 20), np.float32)
-    labels[:, [1, 7, 11]] = 1.0
-    weak = {
-        "image": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32) * 255,
-        "labels": jnp.asarray(labels),
-        "image_size": jnp.asarray([[h, w]] * b, jnp.float32),
-    }
+    batches = _make_batches(mc, b=b)
 
     step = make_train_step(model, opt)
-    state, metrics = step(state, strong, weak, None, jax.random.PRNGKey(1))
+    state, metrics = step(state, *batches[0], None, jax.random.PRNGKey(1))
     float(np.asarray(metrics["total_loss"]))  # host fetch = hard sync
 
     n_iter = 10
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        state, metrics = step(state, strong, weak, None, jax.random.PRNGKey(2 + i))
-    # a real host fetch is the only reliable barrier on remote-attached TPUs
-    # (block_until_ready can return early through the tunnel)
-    float(np.asarray(metrics["total_loss"]))
-    dt = time.perf_counter() - t0
-
     imgs_per_step = 2 * b  # strong + weak images both run the backbone
-    return imgs_per_step * n_iter / dt
+
+    def timed(key0):
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            state, metrics = step(
+                state, *batches[i % len(batches)], None, jax.random.PRNGKey(key0 + i)
+            )
+        # a real host fetch is the only reliable barrier on remote-attached
+        # TPUs (block_until_ready can return early through the tunnel)
+        float(np.asarray(metrics["total_loss"]))
+        return imgs_per_step * n_iter / (time.perf_counter() - t0)
+
+    init_regime = timed(100)  # lr still ~0 here: random-init proposal regime
+
+    for i in range(1 + n_iter, WARMUP_STEPS):
+        state, metrics = step(
+            state, *batches[i % len(batches)], None, jax.random.PRNGKey(200 + i)
+        )
+    tl = float(np.asarray(metrics["total_loss"]))
+    assert tl == tl, "warmup diverged to NaN"
+
+    steady = timed(9000)
+    return steady, init_regime
 
 
 def main():
     # R-50-C4 series (rounds 1-2 continuity)
-    v50 = _measure(50)
+    v50, v50_init = _measure(50)
     print(
         json.dumps(
             {
@@ -100,12 +138,14 @@ def main():
                 "value": round(v50, 3),
                 "unit": "img/s",
                 "vs_baseline": round(v50 / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+                "init_regime_value": round(v50_init, 3),
             }
-        )
+        ),
+        flush=True,
     )
     # flagship R-101-C4 (the config BASELINE.json's metric names:
     # configs/VOC/VOC-RCNN-101-C4-split1.yaml) — LAST line is the headline
-    v101 = _measure(101)
+    v101, v101_init = _measure(101)
     print(
         json.dumps(
             {
@@ -113,9 +153,11 @@ def main():
                 "value": round(v101, 3),
                 "unit": "img/s",
                 "vs_baseline": round(v101 / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+                "init_regime_value": round(v101_init, 3),
                 "r50_c4_value": round(v50, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 
