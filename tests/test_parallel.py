@@ -98,6 +98,34 @@ def test_fsdp_matches_single_device():
 
 
 @pytest.mark.slow
+def test_trainer_fsdp_knob():
+    """TPU.FSDP wiring through TrainerBase: init_state FSDP-shards the state,
+    run_step lazily builds the step from the state's derived shardings, and a
+    large param leaf stays sharded 8-ways after the update."""
+    mesh = make_mesh(8)
+    mc = tiny_config()
+    model = WSRCNN(mc=mc)
+    opt = optax.sgd(1e-3, momentum=0.9)
+    trainer = TrainerNoMeta(
+        model, opt,
+        strong_iter=iter(lambda: _strong_batch(b=8), None),
+        weak_iter=iter(lambda: _weak_batch(b=8), None),
+        mesh=mesh, fsdp=True,
+    )
+    assert trainer.train_step is None  # built lazily once a state exists
+    trainer.init_state()
+    w = trainer.state.params["backbone"]["res4"]["block0"]["conv1"]["kernel"]
+    assert not w.sharding.is_fully_replicated
+
+    metrics = trainer.run_step()
+    assert all(np.isfinite(v) for v in metrics.values()), metrics
+    assert int(trainer.state.step) == 1
+    w2 = trainer.state.params["backbone"]["res4"]["block0"]["conv1"]["kernel"]
+    assert not w2.sharding.is_fully_replicated
+    assert len(w2.sharding.device_set) == 8
+
+
+@pytest.mark.slow
 def test_spatial_2d_mesh_matches_single_device_loss():
     """(data x spatial) 2-D mesh: images sharded on (batch, height); XLA's SPMD
     partitioner splits the backbone convs spatially (halo exchange) and gathers

@@ -289,6 +289,10 @@ def get_cfg() -> CN:
     _C.TPU.NMS_IMPL = "auto"            # auto | xla
     _C.TPU.ROI_ALIGN_SAMPLING_RATIO = 2  # static sampling ratio (ref. uses adaptive)
     _C.TPU.REMAT_BACKBONE = False        # jax.checkpoint the backbone
+    _C.TPU.FSDP = False                  # shard params+opt state over the data
+    #                                      axis (per-layer all-gather + gradient
+    #                                      reduce-scatter instead of replicate+
+    #                                      all-reduce); needs >1 mesh device
     _C.TPU.EVAL_BATCH_SIZE = 1           # non-TTA eval batch (ref is batch-1 only,
     #                                      rcnn.py:494; our predict path is batched)
     _C.TPU.DEBUG_NANS = False            # jax_debug_nans (device-side NaN traps)

@@ -200,6 +200,7 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0):
     trainer = trainer_cls(
         model, optimizer, strong_iter=strong_iter, weak_iter=weak_iter,
         meta_iter=meta_iter, rng=jax.random.PRNGKey(seed), mesh=mesh,
+        fsdp=cfg.TPU.FSDP,
     )
     return model, optimizer, trainer, mesh
 

@@ -182,6 +182,7 @@ class TrainerBase:
         rng: Optional[jax.Array] = None,
         mesh=None,
         train_only_weak: bool = False,
+        fsdp: bool = False,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -191,7 +192,11 @@ class TrainerBase:
         self.mesh = mesh
         self.detect_anomaly = True
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self.train_step = make_train_step(
+        self._train_only_weak = train_only_weak
+        self._fsdp = bool(fsdp) and mesh is not None
+        # FSDP needs the state pytree to derive per-leaf shardings, so the
+        # step is built lazily in run_step once a state exists
+        self.train_step = None if self._fsdp else make_train_step(
             model, optimizer, train_only_weak=train_only_weak, mesh=mesh
         )
         self._state: Optional[TrainState] = None
@@ -216,7 +221,9 @@ class TrainerBase:
     def init_state(self, sample_shape=(1, 64, 64, 3)):
         init_rng, self.rng = jax.random.split(self.rng)
         self.state = create_train_state(self.model, self.optimizer, init_rng, sample_shape)
-        if self.mesh is not None:
+        if self._fsdp:
+            self.state = mesh_lib.fsdp_shard(self.mesh, self.state)
+        elif self.mesh is not None:
             self.state = mesh_lib.replicate(self.mesh, self.state)
         return self.state
 
@@ -235,6 +242,12 @@ class TrainerBase:
             weak = mesh_lib.shard_batch(self.mesh, weak) if weak else None
             # the support stream is replicated, not batch-sharded
             meta = mesh_lib.replicate(self.mesh, meta) if meta else None
+        if self.train_step is None:  # FSDP: shardings derive from the state tree
+            self.train_step = make_train_step(
+                self.model, self.optimizer, train_only_weak=self._train_only_weak,
+                mesh=self.mesh,
+                state_sharding=mesh_lib.fsdp_sharding(self.mesh, self.state),
+            )
         if self._host_step is None:
             self._host_step = int(self.state.step)
         step_rng = jax.random.fold_in(self.rng, self._host_step)
