@@ -98,6 +98,44 @@ def test_fsdp_matches_single_device():
 
 
 @pytest.mark.slow
+def test_tp_matches_single_device():
+    """Tensor parallelism over a 2-D (data x model) mesh: big kernels'
+    output channels split over 'model', GSPMD propagating activation
+    shardings and inserting the collectives — losses AND updated params must
+    match the single-device step."""
+    from unit_tpu.parallel import make_mesh_tp, tp_shard, tp_sharding
+
+    mesh = make_mesh_tp(4, 2)
+    mc = tiny_config()
+    model = WSRCNN(mc=mc)
+    opt = optax.sgd(1e-2, momentum=0.9)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0))
+
+    strong, weak = _strong_batch(b=8), _weak_batch(b=8)
+    step1 = make_train_step(model, opt)
+    s1, m1 = step1(state, strong, weak, None, jax.random.PRNGKey(7))
+
+    state_t = tp_shard(mesh, create_train_state(model, opt, jax.random.PRNGKey(0)))
+    # the tiny config must actually have TP-sharded leaves, else this tests nothing
+    shardings = jax.tree.leaves(tp_sharding(mesh, state_t.params))
+    assert any(not s.is_fully_replicated for s in shardings)
+
+    stept = make_train_step(
+        model, opt, mesh=mesh, state_sharding=tp_sharding(mesh, state_t)
+    )
+    st, mt = stept(state_t, shard_batch(mesh, strong), shard_batch(mesh, weak), None,
+                   jax.random.PRNGKey(7))
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(mt[k]), rtol=2e-4, atol=1e-5)
+
+    # updated params equal the single-device update (gathered)
+    flat1 = jax.tree.leaves(s1.params)
+    flatt = jax.tree.leaves(jax.device_get(st.params))
+    for a, b in zip(flat1, flatt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_trainer_fsdp_knob():
     """TPU.FSDP wiring through TrainerBase: init_state FSDP-shards the state,
     run_step lazily builds the step from the state's derived shardings, and a

@@ -293,6 +293,11 @@ def get_cfg() -> CN:
     #                                      axis (per-layer all-gather + gradient
     #                                      reduce-scatter instead of replicate+
     #                                      all-reduce); needs >1 mesh device
+    _C.TPU.TP = 1                        # tensor-parallel (model-axis) size:
+    #                                      >1 makes a 2-D (data x model) mesh and
+    #                                      splits big kernels' output channels
+    #                                      over 'model' (GSPMD inserts the
+    #                                      collectives); devices = data*TP
     _C.TPU.EVAL_BATCH_SIZE = 1           # non-TTA eval batch (ref is batch-1 only,
     #                                      rcnn.py:494; our predict path is batched)
     _C.TPU.DEBUG_NANS = False            # jax_debug_nans (device-side NaN traps)

@@ -161,7 +161,15 @@ def trainer_class_for(cfg):
 def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0):
     """(model, optimizer, trainer, mesh) for a config."""
     n = num_devices or len(jax.devices())
-    mesh = make_mesh(min(n, len(jax.devices()))) if n > 1 else None
+    n = min(n, len(jax.devices()))
+    tp = int(getattr(cfg.TPU, "TP", 1) or 1)
+    if tp > 1:
+        from ..parallel import make_mesh_tp
+
+        assert n % tp == 0, f"device count {n} not divisible by TPU.TP={tp}"
+        mesh = make_mesh_tp(n // tp, tp)
+    else:
+        mesh = make_mesh(n) if n > 1 else None
     mc = ModelConfig.from_cfg(cfg)
     model = WSRCNN(mc=mc)
 
@@ -200,7 +208,7 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0):
     trainer = trainer_cls(
         model, optimizer, strong_iter=strong_iter, weak_iter=weak_iter,
         meta_iter=meta_iter, rng=jax.random.PRNGKey(seed), mesh=mesh,
-        fsdp=cfg.TPU.FSDP,
+        fsdp=cfg.TPU.FSDP, tp=tp > 1,
     )
     return model, optimizer, trainer, mesh
 

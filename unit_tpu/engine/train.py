@@ -183,6 +183,7 @@ class TrainerBase:
         mesh=None,
         train_only_weak: bool = False,
         fsdp: bool = False,
+        tp: bool = False,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -193,10 +194,17 @@ class TrainerBase:
         self.detect_anomaly = True
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._train_only_weak = train_only_weak
-        self._fsdp = bool(fsdp) and mesh is not None
-        # FSDP needs the state pytree to derive per-leaf shardings, so the
+        if fsdp and tp:
+            raise ValueError("fsdp and tp are mutually exclusive sharding modes")
+        # FSDP / TP need the state pytree to derive per-leaf shardings, so the
         # step is built lazily in run_step once a state exists
-        self.train_step = None if self._fsdp else make_train_step(
+        if mesh is not None and fsdp:
+            self._sharding_fn = mesh_lib.fsdp_sharding
+        elif mesh is not None and tp:
+            self._sharding_fn = mesh_lib.tp_sharding
+        else:
+            self._sharding_fn = None
+        self.train_step = None if self._sharding_fn else make_train_step(
             model, optimizer, train_only_weak=train_only_weak, mesh=mesh
         )
         self._state: Optional[TrainState] = None
@@ -221,8 +229,10 @@ class TrainerBase:
     def init_state(self, sample_shape=(1, 64, 64, 3)):
         init_rng, self.rng = jax.random.split(self.rng)
         self.state = create_train_state(self.model, self.optimizer, init_rng, sample_shape)
-        if self._fsdp:
-            self.state = mesh_lib.fsdp_shard(self.mesh, self.state)
+        if self._sharding_fn is not None:
+            self.state = jax.tree.map(
+                jax.device_put, self.state, self._sharding_fn(self.mesh, self.state)
+            )
         elif self.mesh is not None:
             self.state = mesh_lib.replicate(self.mesh, self.state)
         return self.state
@@ -242,11 +252,11 @@ class TrainerBase:
             weak = mesh_lib.shard_batch(self.mesh, weak) if weak else None
             # the support stream is replicated, not batch-sharded
             meta = mesh_lib.replicate(self.mesh, meta) if meta else None
-        if self.train_step is None:  # FSDP: shardings derive from the state tree
+        if self.train_step is None:  # FSDP/TP: shardings derive from the state tree
             self.train_step = make_train_step(
                 self.model, self.optimizer, train_only_weak=self._train_only_weak,
                 mesh=self.mesh,
-                state_sharding=mesh_lib.fsdp_sharding(self.mesh, self.state),
+                state_sharding=self._sharding_fn(self.mesh, self.state),
             )
         if self._host_step is None:
             self._host_step = int(self.state.step)

@@ -1,15 +1,20 @@
 from .mesh import (
     DATA_AXIS,
+    MODEL_AXIS,
     make_mesh,
+    make_mesh_tp,
     replicated,
     data_sharded,
     shard_batch,
     replicate,
     fsdp_sharding,
     fsdp_shard,
+    tp_sharding,
+    tp_shard,
 )
 
 __all__ = [
-    "DATA_AXIS", "make_mesh", "replicated", "data_sharded", "shard_batch",
-    "replicate", "fsdp_sharding", "fsdp_shard",
+    "DATA_AXIS", "MODEL_AXIS", "make_mesh", "make_mesh_tp", "replicated",
+    "data_sharded", "shard_batch", "replicate", "fsdp_sharding", "fsdp_shard",
+    "tp_sharding", "tp_shard",
 ]

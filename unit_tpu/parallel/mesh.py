@@ -108,6 +108,57 @@ def fsdp_shard(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(jax.device_put, tree, fsdp_sharding(mesh, tree))
 
 
+# --------------------------------------------------------------- TP (data x model)
+# Beyond-reference scaling: tensor parallelism the GSPMD way.  The big kernels
+# (dual Res5 heads, res4 trunk — everything with >= ``min_channels`` output
+# channels) are annotated with their OUTPUT-channel dim split over a second
+# 'model' mesh axis; XLA's SPMD partitioner propagates activation shardings
+# through the network and inserts the all-gathers / reduce-scatters itself
+# (the "How to Scale Your Model" TP recipe: annotate weights, let the
+# partitioner place collectives on ICI).  Combines with data parallelism as a
+# 2-D (data x model) mesh.  The reference has no model-parallel mode at all.
+
+MODEL_AXIS = "model"
+
+
+def make_mesh_tp(n_data: int, n_model: int) -> Mesh:
+    devices = jax.devices()
+    n = n_data * n_model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    return Mesh(
+        np.asarray(devices[:n]).reshape(n_data, n_model),
+        (DATA_AXIS, MODEL_AXIS),
+    )
+
+
+def tp_sharding(mesh: Mesh, tree: Any, min_channels: int = 256) -> Any:
+    """Per-leaf NamedSharding tree for tensor parallelism: conv kernels
+    [kh, kw, cin, cout] and dense kernels [cin, cout] whose output channels
+    are model-axis-divisible and >= ``min_channels`` split on 'model'; biases,
+    norm scales, small predictors (num-classes outputs) stay replicated —
+    GSPMD reshards around them where needed."""
+    m = int(mesh.shape[MODEL_AXIS])
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        if (
+            m > 1
+            and len(shape) in (2, 4)
+            and shape[-1] % m == 0
+            and shape[-1] >= min_channels
+        ):
+            parts = [None] * (len(shape) - 1) + [MODEL_AXIS]
+            return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, tree)
+
+
+def tp_shard(mesh: Mesh, tree: Any) -> Any:
+    """Device-put a (state) pytree with ``tp_sharding``'s per-leaf layout."""
+    return jax.tree.map(jax.device_put, tree, tp_sharding(mesh, tree))
+
+
 def make_mesh_2d(n_data: int, n_spatial: int) -> Mesh:
     devices = jax.devices()
     n = n_data * n_spatial
