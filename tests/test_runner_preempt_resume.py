@@ -75,6 +75,20 @@ def test_sigterm_checkpoints_and_resume_completes(synthetic_voc, monkeypatch, tm
             seen.append(step)
 
     monkeypatch.setattr(runner, "MetricsHook", Recorder)
+    # exact resume also fast-forwards every training stream past the batches
+    # the preempted run consumed (loader-level bit-exactness is covered by
+    # tests/test_loader_fast_forward.py; this asserts the runner wiring)
+    from unit_tpu.data.loader import StreamLoader
+
+    ff_calls = []
+    real_ff = StreamLoader.fast_forward
+
+    def recording_ff(self, n):
+        ff_calls.append(n)
+        return real_ff(self, n)
+
+    monkeypatch.setattr(StreamLoader, "fast_forward", recording_ff)
     results = runner.run(_args(resume=True))
     assert seen == [3, 4]
     assert results is not None and "bbox" in results
+    assert ff_calls and all(n == 2 for n in ff_calls)  # both streams skip to step 2

@@ -127,25 +127,32 @@ class StreamLoader:
         # while each host still samples its own record shard.
         self.sync_portrait_frac = sync_portrait_frac
 
-    def _load(self, rec):
-        # Draw the augmentation parameters ONCE, up front: the native path
-        # and the PIL fallback must consume identical rng draws, or a single
-        # undecodable file would shift the augmentation stream of every
-        # subsequent record (and de-synchronize multi-host runs where only
-        # some hosts have the native library).
+    def _draw_aug(self):
+        """The ONLY rng draws per record (min-size choice + flip coin).  Both
+        `_load` and `fast_forward` consume this exact sequence, so a resumed
+        stream replays the same augmentations without decoding anything."""
         t = self.tcfg
         min_size = (
             t.min_sizes[self.rng.randint(len(t.min_sizes))]
             if self.training else t.min_sizes[0]
         )
         flip = bool(self.training and t.flip and self.rng.rand() < 0.5)
+        return min_size, flip
+
+    def _load(self, rec, aug=None):
+        # Draw the augmentation parameters ONCE, up front: the native path
+        # and the PIL fallback must consume identical rng draws, or a single
+        # undecodable file would shift the augmentation stream of every
+        # subsequent record (and de-synchronize multi-host runs where only
+        # some hosts have the native library).
+        min_size, flip = aug if aug is not None else self._draw_aug()
         if self.image_loader is None and _native_eligible(rec):
             try:
                 return self._load_native(rec, min_size, flip)
             except RuntimeError:
                 pass  # undecodable file -> PIL fallback
         img = self.image_loader(rec) if self.image_loader else None
-        return prepare_detection_record(rec, t, self.rng, image=img,
+        return prepare_detection_record(rec, self.tcfg, self.rng, image=img,
                                         training=self.training,
                                         aug=(min_size, flip))
 
@@ -177,6 +184,16 @@ class StreamLoader:
             return
         order: List[int] = []
         buckets: Dict[tuple, List[dict]] = {}
+        if getattr(self, "_resume", None) is not None:
+            # fast_forward left the stream mid-epoch: records already drawn
+            # into partially-filled buckets are decoded NOW with their
+            # recorded augmentation draws (at most batch_size-1 per bucket).
+            order, bucket_meta = self._resume
+            self._resume = None
+            buckets = {
+                key: [self._load(self.records[i], aug=aug) for i, aug in metas]
+                for key, metas in bucket_meta.items()
+            }
         while True:
             if not order:
                 order = list(self.rng.permutation(len(self.records)))
@@ -201,6 +218,9 @@ class StreamLoader:
         orient_rng = np.random.RandomState((self.seed + 0x5EED) % 2**31)
         order: List[int] = []
         pend: Dict[bool, List[int]] = {True: [], False: []}
+        if getattr(self, "_resume_synced", None) is not None:
+            orient_rng, order, pend = self._resume_synced
+            self._resume_synced = None
         while True:
             want = bool(orient_rng.rand() < self.sync_portrait_frac)
             if not have[want]:
@@ -221,6 +241,74 @@ class StreamLoader:
                 i = order.pop()
                 pend[is_portrait[i]].append(i)
             yield collate(batch, self.keys)
+
+    def fast_forward(self, n_batches: int) -> None:
+        """Advance the stream past ``n_batches`` WITHOUT decoding any image.
+
+        Exact-resume support (--resume): replays the index-permutation and
+        augmentation rng draws the real iterator would have consumed, then
+        pre-positions the next ``__iter__`` so batch ``n_batches`` onward is
+        bit-identical to an un-resumed run's.  The reference (a d2-style
+        infinite sampler, /root/reference/data/build.py) restarts its stream
+        from the beginning on resume and replays early data.
+        """
+        if n_batches <= 0:
+            return
+        from .transforms import oriented_canvas
+
+        if self.sync_portrait_frac is not None:
+            ch, cw = self.tcfg.canvas
+            if ch != cw:
+                self._fast_forward_synced(n_batches)
+                return
+            self.sync_portrait_frac = None  # mirrors _iter_synced's square case
+        order: List[int] = []
+        buckets: Dict[tuple, List[tuple]] = {}  # key -> [(rec_idx, aug)]
+        done = 0
+        while done < n_batches:
+            if not order:
+                order = list(self.rng.permutation(len(self.records)))
+            i = order.pop()
+            aug = self._draw_aug()
+            rec = self.records[i]
+            key = oriented_canvas(
+                int(rec["height"]), int(rec["width"]), self.tcfg.canvas
+            )
+            buckets.setdefault(key, []).append((i, aug))
+            if len(buckets[key]) == self.batch_size:
+                buckets[key] = []
+                done += 1
+        self._resume = (order, {k: v for k, v in buckets.items() if v})
+
+    def _fast_forward_synced(self, n_batches: int) -> None:
+        """`fast_forward` for the host-synchronized orientation schedule:
+        replays the orientation draws + record pops of `_iter_synced` (aug
+        draws happen at batch-assembly time there, so the leftover `pend`
+        lists carry no aug state and nothing needs decoding)."""
+        is_portrait = [int(r["height"]) > int(r["width"]) for r in self.records]
+        have = {True: any(is_portrait), False: not all(is_portrait)}
+        orient_rng = np.random.RandomState((self.seed + 0x5EED) % 2**31)
+        order: List[int] = []
+        pend: Dict[bool, List[int]] = {True: [], False: []}
+        for _ in range(n_batches):
+            want = bool(orient_rng.rand() < self.sync_portrait_frac)
+            if not have[want]:
+                raise RuntimeError(
+                    "host data shard cannot satisfy the synchronized "
+                    "orientation schedule (see _iter_synced)"
+                )
+            n = 0
+            while n < self.batch_size:
+                if pend[want]:
+                    pend[want].pop()
+                    self._draw_aug()
+                    n += 1
+                    continue
+                if not order:
+                    order = list(self.rng.permutation(len(self.records)))
+                i = order.pop()
+                pend[is_portrait[i]].append(i)
+        self._resume_synced = (orient_rng, order, pend)
 
 
 def _host_shard(records):
@@ -555,6 +643,19 @@ class SupportLoader:
     def __iter__(self):
         while True:
             yield self.next_batch()
+
+    def fast_forward(self, n_batches: int) -> None:
+        """Advance the support stream past ``n_batches`` without loading any
+        shot (exact --resume support; see StreamLoader.fast_forward)."""
+        for _ in range(max(0, n_batches)):
+            for cls in self.class_ids:
+                pool = self.by_class.get(cls, [])
+                if not pool:
+                    continue
+                if self.deterministic:
+                    self._det_pos[cls] = (self._det_pos[cls] + self.shots) % len(pool)
+                else:
+                    self.rng.randint(0, len(pool), size=self.shots)
 
     def next_batch(self):
         c = len(self.class_ids)

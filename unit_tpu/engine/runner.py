@@ -158,8 +158,14 @@ def trainer_class_for(cfg):
     return TrainerNoMeta
 
 
-def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0):
-    """(model, optimizer, trainer, mesh) for a config."""
+def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0,
+                     start_step: int = 0):
+    """(model, optimizer, trainer, mesh) for a config.
+
+    ``start_step`` > 0 (--resume): every training stream is fast-forwarded
+    past the batches the preempted run already consumed, so the resumed run
+    sees exactly the data an uninterrupted run would have (the reference's
+    d2-style infinite sampler replays from the beginning instead)."""
     n = num_devices or len(jax.devices())
     n = min(n, len(jax.devices()))
     tp = int(getattr(cfg.TPU, "TP", 1) or 1)
@@ -177,17 +183,22 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0):
     strong_iter = None
     weak_iter = None
     meta_iter = None
+    def _ff(loader):
+        if start_step > 0:
+            loader.fast_forward(start_step)
+        return loader
+
     if trainer_cls is TrainerOnlyWeakFineTune:
         # classifier data fed as the boxed supervised batch (defaults.py:402-425)
         from ..data.loader import build_classifier_strong_loader
 
-        strong_iter = Prefetcher(iter(build_classifier_strong_loader(cfg, seed=seed)))
+        strong_iter = Prefetcher(iter(_ff(build_classifier_strong_loader(cfg, seed=seed))))
     else:
         if not cfg.DATASETS.TRAIN:
             raise ValueError("DATASETS.TRAIN is empty")
-        strong_iter = Prefetcher(iter(build_strong_loader(cfg, seed=seed)))
+        strong_iter = Prefetcher(iter(_ff(build_strong_loader(cfg, seed=seed))))
     if trainer_cls in (TrainerNoMeta, TrainerOnlyWeak, Trainer):
-        weak_iter = Prefetcher(iter(build_classifier_loader(cfg, seed=seed + 1)))
+        weak_iter = Prefetcher(iter(_ff(build_classifier_loader(cfg, seed=seed + 1))))
     if trainer_cls is Trainer:
         from ..data.loader import build_support_loader
 
@@ -195,7 +206,7 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0):
             "VOC": "voc_base_training_support",
             "COCO": "coco_base_training_support",
         }.get(cfg.DATASETS.FEWSHOT.TYPE, "voc_base_training_support")
-        meta_iter = iter(build_support_loader(cfg, support_name, seed=seed + 2))
+        meta_iter = iter(_ff(build_support_loader(cfg, support_name, seed=seed + 2)))
 
     # optimizer over a params template
     from .train import create_train_state
@@ -402,13 +413,17 @@ def run(args):
         jax.distributed.initialize()
     cfg = setup(args)
     seed = cfg.SEED if cfg.SEED >= 0 else 0
-    model, optimizer, trainer, mesh = build_everything(cfg, args.num_gpus, seed=seed)
+    ckpt = Checkpointer(cfg.OUTPUT_DIR, max_to_keep=3)
+    resume_step = ckpt.latest_step() if args.resume else None
+    model, optimizer, trainer, mesh = build_everything(
+        cfg, args.num_gpus, seed=seed,
+        start_step=0 if args.eval_only else int(resume_step or 0),
+    )
     state = trainer.init_state()
     params = load_initial_weights(cfg, jax.device_get(state.params))
     trainer.state = trainer.state.replace(params=jax.device_put(params))
 
-    ckpt = Checkpointer(cfg.OUTPUT_DIR, max_to_keep=3)
-    if args.resume and ckpt.latest_step() is not None:
+    if resume_step is not None:
         trainer.state = ckpt.restore(template=jax.device_get(trainer.state))
 
     eval_fn = make_eval_fn(cfg, model, mesh)
