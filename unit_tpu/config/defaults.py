@@ -298,6 +298,13 @@ def get_cfg() -> CN:
     #                                      splits big kernels' output channels
     #                                      over 'model' (GSPMD inserts the
     #                                      collectives); devices = data*TP
+    _C.TPU.GRAD_ACCUM = 1                # gradient accumulation: >1 scans that
+    #                                      many microbatches per optimizer step
+    #                                      (one microbatch's activations live at
+    #                                      a time), averaging the gradients —
+    #                                      larger effective batch than fits in
+    #                                      HBM; effective batch = IMS_PER_BATCH
+    #                                      * GRAD_ACCUM
     _C.TPU.EVAL_BATCH_SIZE = 1           # non-TTA eval batch (ref is batch-1 only,
     #                                      rcnn.py:494; our predict path is batched)
     _C.TPU.DEBUG_NANS = False            # jax_debug_nans (device-side NaN traps)

@@ -183,22 +183,26 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0,
     strong_iter = None
     weak_iter = None
     meta_iter = None
-    def _ff(loader):
+    grad_accum = int(getattr(cfg.TPU, "GRAD_ACCUM", 1) or 1)
+
+    def _ff(loader, per_step: int = 1):
+        # exact resume: each train step consumes `per_step` batches from this
+        # stream (grad accumulation stacks that many microbatches)
         if start_step > 0:
-            loader.fast_forward(start_step)
+            loader.fast_forward(start_step * per_step)
         return loader
 
     if trainer_cls is TrainerOnlyWeakFineTune:
         # classifier data fed as the boxed supervised batch (defaults.py:402-425)
         from ..data.loader import build_classifier_strong_loader
 
-        strong_iter = Prefetcher(iter(_ff(build_classifier_strong_loader(cfg, seed=seed))))
+        strong_iter = Prefetcher(iter(_ff(build_classifier_strong_loader(cfg, seed=seed), grad_accum)))
     else:
         if not cfg.DATASETS.TRAIN:
             raise ValueError("DATASETS.TRAIN is empty")
-        strong_iter = Prefetcher(iter(_ff(build_strong_loader(cfg, seed=seed))))
+        strong_iter = Prefetcher(iter(_ff(build_strong_loader(cfg, seed=seed), grad_accum)))
     if trainer_cls in (TrainerNoMeta, TrainerOnlyWeak, Trainer):
-        weak_iter = Prefetcher(iter(_ff(build_classifier_loader(cfg, seed=seed + 1))))
+        weak_iter = Prefetcher(iter(_ff(build_classifier_loader(cfg, seed=seed + 1), grad_accum)))
     if trainer_cls is Trainer:
         from ..data.loader import build_support_loader
 
@@ -220,6 +224,7 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0,
         model, optimizer, strong_iter=strong_iter, weak_iter=weak_iter,
         meta_iter=meta_iter, rng=jax.random.PRNGKey(seed), mesh=mesh,
         fsdp=cfg.TPU.FSDP, tp=tp > 1,
+        grad_accum=grad_accum,
     )
     return model, optimizer, trainer, mesh
 

@@ -62,6 +62,7 @@ def make_train_step(
     train_only_weak: bool = False,
     mesh=None,
     state_sharding=None,
+    grad_accum: int = 1,
 ) -> Callable:
     """Build the jitted (state, strong, weak, rng) -> (state, metrics) step.
 
@@ -73,6 +74,14 @@ def make_train_step(
     optimizer state live sharded over the data axis too (FSDP): XLA inserts
     per-layer all-gathers and a gradient reduce-scatter instead of DDP's
     replicate + all-reduce.
+
+    With ``grad_accum`` = A > 1, the strong/weak batches carry a leading
+    microbatch axis [A, B, ...]; the step lax.scans over the A microbatches
+    (one microbatch's activations live at a time), averages the gradients and
+    applies ONE optimizer update — the same larger-effective-batch semantics
+    as averaging per-replica gradients in data parallelism.  The support
+    (meta) batch is shared by all microbatches.  The reference has no
+    accumulation mode (its effective batch is capped by GPU memory).
     """
 
     # train-mode dropout applies only to the VGG fc heads (torch .train()
@@ -80,20 +89,19 @@ def make_train_step(
     # (and compile-cache entry) is unchanged
     needs_dropout = "VGG" in model.mc.box_head_name
 
-    def step_fn(state: TrainState, strong, weak, meta, rng):
-        def loss_fn(params):
-            losses = model.apply(
-                {"params": params}, rng, strong, weak,
-                train_only_weak=train_only_weak, meta=meta,
-                method=WSRCNN.train_losses,
-                rngs={"dropout": jax.random.fold_in(rng, 7)} if needs_dropout else None,
-            )
-            total = jnp.asarray(0.0)
-            for v in losses.values():
-                total = total + v
-            return total, losses
+    def loss_fn(params, strong, weak, meta, rng):
+        losses = model.apply(
+            {"params": params}, rng, strong, weak,
+            train_only_weak=train_only_weak, meta=meta,
+            method=WSRCNN.train_losses,
+            rngs={"dropout": jax.random.fold_in(rng, 7)} if needs_dropout else None,
+        )
+        total = jnp.asarray(0.0)
+        for v in losses.values():
+            total = total + v
+        return total, losses
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    def _apply(state, grads, total, losses):
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
@@ -102,6 +110,48 @@ def make_train_step(
             params=new_params, opt_state=new_opt, step=state.step + 1
         )
         return new_state, metrics
+
+    if grad_accum <= 1:
+        def step_fn(state: TrainState, strong, weak, meta, rng):
+            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, strong, weak, meta, rng
+            )
+            return _apply(state, grads, total, losses)
+    else:
+        def step_fn(state: TrainState, strong, weak, meta, rng):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            micro0 = jax.tree.map(lambda x: x[0], (strong, weak))
+            _, loss_shapes = jax.eval_shape(
+                loss_fn, state.params, micro0[0], micro0[1], meta, rng
+            )
+            zeros = lambda t: jax.tree.map(  # noqa: E731
+                lambda s: jnp.zeros(getattr(s, "shape", ()), getattr(s, "dtype", jnp.float32)), t
+            )
+            carry0 = (
+                jax.tree.map(jnp.zeros_like, state.params),
+                jnp.zeros(()),
+                zeros(loss_shapes),
+            )
+
+            def micro(carry, xs):
+                i, s, w = xs
+                (total, losses), g = grad_fn(
+                    state.params, s, w, meta, jax.random.fold_in(rng, i)
+                )
+                g_acc, t_acc, l_acc = carry
+                return (
+                    jax.tree.map(jnp.add, g_acc, g),
+                    t_acc + total,
+                    jax.tree.map(jnp.add, l_acc, losses),
+                ), None
+
+            (g_acc, t_acc, l_acc), _ = jax.lax.scan(
+                micro, carry0, (jnp.arange(grad_accum), strong, weak)
+            )
+            inv = 1.0 / grad_accum
+            grads = jax.tree.map(lambda g: g * inv, g_acc)
+            losses = jax.tree.map(lambda v: v * inv, l_acc)
+            return _apply(state, grads, t_acc * inv, losses)
 
     if mesh is None:
         return jax.jit(
@@ -113,6 +163,7 @@ def make_train_step(
         # from shard_batch_spatial (images split on batch AND height; other
         # arrays on batch) — None lets jit inherit them, and XLA's SPMD
         # partitioner spatially splits the convolutions with halo exchange.
+        assert grad_accum <= 1, "grad accumulation + spatial mesh not supported"
         return jax.jit(
             step_fn,
             donate_argnums=(0,),
@@ -120,7 +171,8 @@ def make_train_step(
             out_shardings=(repl, repl),
             compiler_options=_compiler_options(),
         )
-    data = mesh_lib.data_sharded(mesh)
+    # stacked [A, B, ...] microbatches shard the BATCH dim (dim 1), not A
+    data = mesh_lib.data_sharded(mesh, axis=1 if grad_accum > 1 else 0)
     state_sh = repl if state_sharding is None else state_sharding
     return jax.jit(
         step_fn,
@@ -184,6 +236,7 @@ class TrainerBase:
         train_only_weak: bool = False,
         fsdp: bool = False,
         tp: bool = False,
+        grad_accum: int = 1,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -194,6 +247,11 @@ class TrainerBase:
         self.detect_anomaly = True
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._train_only_weak = train_only_weak
+        self.grad_accum = max(1, int(grad_accum))
+        # per-stream, per-canvas-shape buffers for microbatch stacking (an
+        # accum group must share one compile bucket, like the loader's own
+        # aspect-ratio batching one level down)
+        self._accum_buf = {"strong": {}, "weak": {}}
         if fsdp and tp:
             raise ValueError("fsdp and tp are mutually exclusive sharding modes")
         # FSDP / TP need the state pytree to derive per-leaf shardings, so the
@@ -205,7 +263,8 @@ class TrainerBase:
         else:
             self._sharding_fn = None
         self.train_step = None if self._sharding_fn else make_train_step(
-            model, optimizer, train_only_weak=train_only_weak, mesh=mesh
+            model, optimizer, train_only_weak=train_only_weak, mesh=mesh,
+            grad_accum=self.grad_accum,
         )
         self._state: Optional[TrainState] = None
         self.stop_requested = False
@@ -237,9 +296,29 @@ class TrainerBase:
             self.state = mesh_lib.replicate(self.mesh, self.state)
         return self.state
 
+    def _next_stacked(self, it, buffers):
+        """Pull microbatches until grad_accum share one canvas shape, then
+        stack them into [A, B, ...] (mismatched orientations stay buffered
+        for a later group)."""
+        import numpy as np
+
+        while True:
+            b = next(it)
+            key = tuple(b["image"].shape)
+            buffers.setdefault(key, []).append(b)
+            if len(buffers[key]) == self.grad_accum:
+                group = buffers.pop(key)
+                return jax.tree.map(lambda *xs: np.stack(xs), *group)
+
     def _next_batches(self):
-        strong = next(self.strong_iter) if self.strong_iter is not None else None
-        weak = next(self.weak_iter) if self.weak_iter is not None else None
+        if self.grad_accum > 1:
+            strong = (self._next_stacked(self.strong_iter, self._accum_buf["strong"])
+                      if self.strong_iter is not None else None)
+            weak = (self._next_stacked(self.weak_iter, self._accum_buf["weak"])
+                    if self.weak_iter is not None else None)
+        else:
+            strong = next(self.strong_iter) if self.strong_iter is not None else None
+            weak = next(self.weak_iter) if self.weak_iter is not None else None
         meta = next(self.meta_iter) if self.meta_iter is not None else None
         return strong, weak, meta
 
@@ -248,8 +327,9 @@ class TrainerBase:
         strong, weak, meta = self._next_batches()
         data_time = time.perf_counter() - t0
         if self.mesh is not None:
-            strong = mesh_lib.shard_batch(self.mesh, strong) if strong else None
-            weak = mesh_lib.shard_batch(self.mesh, weak) if weak else None
+            ax = 1 if self.grad_accum > 1 else 0  # stacked micros: batch is dim 1
+            strong = mesh_lib.shard_batch(self.mesh, strong, axis=ax) if strong else None
+            weak = mesh_lib.shard_batch(self.mesh, weak, axis=ax) if weak else None
             # the support stream is replicated, not batch-sharded
             meta = mesh_lib.replicate(self.mesh, meta) if meta else None
         if self.train_step is None:  # FSDP/TP: shardings derive from the state tree
@@ -257,6 +337,7 @@ class TrainerBase:
                 self.model, self.optimizer, train_only_weak=self._train_only_weak,
                 mesh=self.mesh,
                 state_sharding=self._sharding_fn(self.mesh, self.state),
+                grad_accum=self.grad_accum,
             )
         if self._host_step is None:
             self._host_step = int(self.state.step)

@@ -32,11 +32,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def data_sharded(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(DATA_AXIS))
+def data_sharded(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Batch sharding over 'data'; ``axis``=1 for stacked grad-accum
+    microbatches [A, B, ...] where the BATCH dim (not A) splits."""
+    return NamedSharding(mesh, P(*([None] * axis), DATA_AXIS))
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
+def shard_batch(mesh: Mesh, batch: Any, axis: int = 0) -> Any:
     """Device-put a host batch with the leading axis split across the data mesh.
 
     Multi-process: each process holds only ITS slice of the global batch (the
@@ -44,11 +46,11 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     assembled from the per-process local data — the TPU-native replacement for
     the reference's per-rank DistributedSampler + DDP batch split
     (/root/reference/data/build.py:110-122)."""
-    sh = data_sharded(mesh)
+    sh = data_sharded(mesh, axis=axis)
     multiproc = jax.process_count() > 1
 
     def put(x):
-        if not hasattr(x, "ndim") or x.ndim == 0:
+        if not hasattr(x, "ndim") or x.ndim <= axis:
             return x
         if multiproc:
             return jax.make_array_from_process_local_data(sh, np.asarray(x))
