@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.activations import relu
+
 from ..utils.registry import Registry
 from .resnet import ResNetC4
 
@@ -66,12 +68,12 @@ class VGG16(nn.Module):
         idx = 0
         for block, (n, ch) in enumerate(cfg):
             for i in range(n):
-                x = nn.relu(conv(ch, 3, name=f"conv{idx}", dtype=self.dtype)(x))
+                x = relu(conv(ch, 3, name=f"conv{idx}", dtype=self.dtype)(x))
                 idx += 1
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         d = 2 if self.dilated else 1
         for i in range(3):
-            x = nn.relu(
+            x = relu(
                 nn.Conv(512, (3, 3), kernel_dilation=(d, d), padding="SAME",
                         dtype=self.dtype, name=f"conv{idx}")(x)
             )
@@ -88,16 +90,16 @@ class VGGCNNF(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = nn.relu(nn.Conv(64, (11, 11), strides=(4, 4), padding=((0, 0), (0, 0)),
+        x = relu(nn.Conv(64, (11, 11), strides=(4, 4), padding=((0, 0), (0, 0)),
                             dtype=self.dtype, name="conv1")(x))
         x = LocalResponseNorm(name="norm1")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
-        x = nn.relu(conv(256, 5, p="SAME", name="conv2", dtype=self.dtype)(x))
+        x = relu(conv(256, 5, p="SAME", name="conv2", dtype=self.dtype)(x))
         x = LocalResponseNorm(name="norm2")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
-        x = nn.relu(conv(256, 3, name="conv3", dtype=self.dtype)(x))
-        x = nn.relu(conv(256, 3, name="conv4", dtype=self.dtype)(x))
-        x = nn.relu(conv(256, 3, name="conv5", dtype=self.dtype)(x))
+        x = relu(conv(256, 3, name="conv3", dtype=self.dtype)(x))
+        x = relu(conv(256, 3, name="conv4", dtype=self.dtype)(x))
+        x = relu(conv(256, 3, name="conv5", dtype=self.dtype)(x))
         return x
 
 
@@ -107,16 +109,16 @@ class _IRBlock35(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b0 = nn.relu(conv(32, 1, name="b0", dtype=self.dtype)(x))
-        b1 = nn.relu(conv(32, 1, name="b1_0", dtype=self.dtype)(x))
-        b1 = nn.relu(conv(32, 3, name="b1_1", dtype=self.dtype)(b1))
-        b2 = nn.relu(conv(32, 1, name="b2_0", dtype=self.dtype)(x))
-        b2 = nn.relu(conv(48, 3, name="b2_1", dtype=self.dtype)(b2))
-        b2 = nn.relu(conv(64, 3, name="b2_2", dtype=self.dtype)(b2))
+        b0 = relu(conv(32, 1, name="b0", dtype=self.dtype)(x))
+        b1 = relu(conv(32, 1, name="b1_0", dtype=self.dtype)(x))
+        b1 = relu(conv(32, 3, name="b1_1", dtype=self.dtype)(b1))
+        b2 = relu(conv(32, 1, name="b2_0", dtype=self.dtype)(x))
+        b2 = relu(conv(48, 3, name="b2_1", dtype=self.dtype)(b2))
+        b2 = relu(conv(64, 3, name="b2_2", dtype=self.dtype)(b2))
         up = conv(x.shape[-1], 1, name="up", dtype=self.dtype)(
             jnp.concatenate([b0, b1, b2], -1)
         )
-        return nn.relu(x + self.scale * up)
+        return relu(x + self.scale * up)
 
 
 class _IRBlock17(nn.Module):
@@ -125,16 +127,16 @@ class _IRBlock17(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b0 = nn.relu(conv(192, 1, name="b0", dtype=self.dtype)(x))
-        b1 = nn.relu(conv(128, 1, name="b1_0", dtype=self.dtype)(x))
-        b1 = nn.relu(nn.Conv(160, (1, 7), padding="SAME", dtype=self.dtype,
+        b0 = relu(conv(192, 1, name="b0", dtype=self.dtype)(x))
+        b1 = relu(conv(128, 1, name="b1_0", dtype=self.dtype)(x))
+        b1 = relu(nn.Conv(160, (1, 7), padding="SAME", dtype=self.dtype,
                              name="b1_1")(b1))
-        b1 = nn.relu(nn.Conv(192, (7, 1), padding="SAME", dtype=self.dtype,
+        b1 = relu(nn.Conv(192, (7, 1), padding="SAME", dtype=self.dtype,
                              name="b1_2")(b1))
         up = conv(x.shape[-1], 1, name="up", dtype=self.dtype)(
             jnp.concatenate([b0, b1], -1)
         )
-        return nn.relu(x + self.scale * up)
+        return relu(x + self.scale * up)
 
 
 @BACKBONE_REGISTRY.register(name="build_inception_resnet_v2_backbone")
@@ -149,30 +151,30 @@ class InceptionResNetV2(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = nn.relu(conv(32, 3, 2, p=((0, 0), (0, 0)), name="conv2d_1a", dtype=self.dtype)(x))
-        x = nn.relu(conv(32, 3, 1, p=((0, 0), (0, 0)), name="conv2d_2a", dtype=self.dtype)(x))
-        x = nn.relu(conv(64, 3, 1, name="conv2d_2b", dtype=self.dtype)(x))
+        x = relu(conv(32, 3, 2, p=((0, 0), (0, 0)), name="conv2d_1a", dtype=self.dtype)(x))
+        x = relu(conv(32, 3, 1, p=((0, 0), (0, 0)), name="conv2d_2a", dtype=self.dtype)(x))
+        x = relu(conv(64, 3, 1, name="conv2d_2b", dtype=self.dtype)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.relu(conv(80, 1, p=((0, 0), (0, 0)), name="conv2d_3b", dtype=self.dtype)(x))
-        x = nn.relu(conv(192, 3, p=((0, 0), (0, 0)), name="conv2d_4a", dtype=self.dtype)(x))
+        x = relu(conv(80, 1, p=((0, 0), (0, 0)), name="conv2d_3b", dtype=self.dtype)(x))
+        x = relu(conv(192, 3, p=((0, 0), (0, 0)), name="conv2d_4a", dtype=self.dtype)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         # mixed_5b
-        b0 = nn.relu(conv(96, 1, name="m5b_b0", dtype=self.dtype)(x))
-        b1 = nn.relu(conv(48, 1, name="m5b_b1_0", dtype=self.dtype)(x))
-        b1 = nn.relu(conv(64, 5, name="m5b_b1_1", dtype=self.dtype)(b1))
-        b2 = nn.relu(conv(64, 1, name="m5b_b2_0", dtype=self.dtype)(x))
-        b2 = nn.relu(conv(96, 3, name="m5b_b2_1", dtype=self.dtype)(b2))
-        b2 = nn.relu(conv(96, 3, name="m5b_b2_2", dtype=self.dtype)(b2))
+        b0 = relu(conv(96, 1, name="m5b_b0", dtype=self.dtype)(x))
+        b1 = relu(conv(48, 1, name="m5b_b1_0", dtype=self.dtype)(x))
+        b1 = relu(conv(64, 5, name="m5b_b1_1", dtype=self.dtype)(b1))
+        b2 = relu(conv(64, 1, name="m5b_b2_0", dtype=self.dtype)(x))
+        b2 = relu(conv(96, 3, name="m5b_b2_1", dtype=self.dtype)(b2))
+        b2 = relu(conv(96, 3, name="m5b_b2_2", dtype=self.dtype)(b2))
         b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        b3 = nn.relu(conv(64, 1, name="m5b_b3", dtype=self.dtype)(b3))
+        b3 = relu(conv(64, 1, name="m5b_b3", dtype=self.dtype)(b3))
         x = jnp.concatenate([b0, b1, b2, b3], -1)
         for i in range(self.num_block35):
             x = _IRBlock35(dtype=self.dtype, name=f"block35_{i}")(x)
         # mixed_6a (stride 2 -> total 16)
-        b0 = nn.relu(conv(384, 3, 2, p=((0, 0), (0, 0)), name="m6a_b0", dtype=self.dtype)(x))
-        b1 = nn.relu(conv(256, 1, name="m6a_b1_0", dtype=self.dtype)(x))
-        b1 = nn.relu(conv(256, 3, name="m6a_b1_1", dtype=self.dtype)(b1))
-        b1 = nn.relu(conv(384, 3, 2, p=((0, 0), (0, 0)), name="m6a_b1_2", dtype=self.dtype)(b1))
+        b0 = relu(conv(384, 3, 2, p=((0, 0), (0, 0)), name="m6a_b0", dtype=self.dtype)(x))
+        b1 = relu(conv(256, 1, name="m6a_b1_0", dtype=self.dtype)(x))
+        b1 = relu(conv(256, 3, name="m6a_b1_1", dtype=self.dtype)(b1))
+        b1 = relu(conv(384, 3, 2, p=((0, 0), (0, 0)), name="m6a_b1_2", dtype=self.dtype)(b1))
         b2 = nn.max_pool(x, (3, 3), strides=(2, 2))
         x = jnp.concatenate([b0, b1, b2], -1)
         for i in range(self.num_block17):

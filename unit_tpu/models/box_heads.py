@@ -15,6 +15,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.activations import relu
+
 from ..utils.registry import Registry
 
 BOX_HEAD_REGISTRY = Registry("BOX_HEAD")
@@ -32,9 +34,9 @@ class _TwoFC(nn.Module):
     @nn.compact
     def __call__(self, x):
         use_dropout = self.has_rng("dropout")
-        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc6")(x))
+        x = relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc6")(x))
         x = nn.Dropout(self.dropout, deterministic=not use_dropout)(x)
-        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc7")(x))
+        x = relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc7")(x))
         x = nn.Dropout(self.dropout, deterministic=not use_dropout)(x)
         return x
 
@@ -83,19 +85,19 @@ class _Block8(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b0 = nn.relu(nn.Conv(192, (1, 1), use_bias=False, dtype=self.dtype,
+        b0 = relu(nn.Conv(192, (1, 1), use_bias=False, dtype=self.dtype,
                              name="b0")(x))
-        b1 = nn.relu(nn.Conv(192, (1, 1), use_bias=False, dtype=self.dtype,
+        b1 = relu(nn.Conv(192, (1, 1), use_bias=False, dtype=self.dtype,
                              name="b1_0")(x))
-        b1 = nn.relu(nn.Conv(224, (1, 3), padding="SAME", use_bias=False,
+        b1 = relu(nn.Conv(224, (1, 3), padding="SAME", use_bias=False,
                              dtype=self.dtype, name="b1_1")(b1))
-        b1 = nn.relu(nn.Conv(256, (3, 1), padding="SAME", use_bias=False,
+        b1 = relu(nn.Conv(256, (3, 1), padding="SAME", use_bias=False,
                              dtype=self.dtype, name="b1_2")(b1))
         up = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="up")(
             jnp.concatenate([b0, b1], -1)
         )
         x = x + self.scale * up
-        return nn.relu(x) if self.relu else x
+        return relu(x) if self.relu else x
 
 
 @BOX_HEAD_REGISTRY.register()
@@ -114,19 +116,19 @@ class InceptionResNetHead(nn.Module):
     def __call__(self, x, spatial_mean: bool = True):
         x = x.astype(self.dtype)
         # mixed_7a: three conv branches (stride-2 VALID) + maxpool -> 2080ch
-        b0 = nn.relu(nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+        b0 = relu(nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
                              name="m7a_b0_0")(x))
-        b0 = nn.relu(nn.Conv(384, (3, 3), strides=(2, 2), padding="VALID",
+        b0 = relu(nn.Conv(384, (3, 3), strides=(2, 2), padding="VALID",
                              use_bias=False, dtype=self.dtype, name="m7a_b0_1")(b0))
-        b1 = nn.relu(nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+        b1 = relu(nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
                              name="m7a_b1_0")(x))
-        b1 = nn.relu(nn.Conv(288, (3, 3), strides=(2, 2), padding="VALID",
+        b1 = relu(nn.Conv(288, (3, 3), strides=(2, 2), padding="VALID",
                              use_bias=False, dtype=self.dtype, name="m7a_b1_1")(b1))
-        b2 = nn.relu(nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+        b2 = relu(nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
                              name="m7a_b2_0")(x))
-        b2 = nn.relu(nn.Conv(288, (3, 3), padding="SAME", use_bias=False,
+        b2 = relu(nn.Conv(288, (3, 3), padding="SAME", use_bias=False,
                              dtype=self.dtype, name="m7a_b2_1")(b2))
-        b2 = nn.relu(nn.Conv(320, (3, 3), strides=(2, 2), padding="VALID",
+        b2 = relu(nn.Conv(320, (3, 3), strides=(2, 2), padding="VALID",
                              use_bias=False, dtype=self.dtype, name="m7a_b2_2")(b2))
         b3 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         x = jnp.concatenate([b0, b1, b2, b3], -1)
@@ -135,7 +137,7 @@ class InceptionResNetHead(nn.Module):
             x = _Block8(scale=0.2, dtype=self.dtype, name=f"block8_{i}")(x)
         # final block8 (scale 1.0, no relu) + conv2d_7b
         x = _Block8(scale=1.0, relu=False, dtype=self.dtype, name="block8_final")(x)
-        x = nn.relu(nn.Conv(1536, (1, 1), use_bias=False, dtype=self.dtype,
+        x = relu(nn.Conv(1536, (1, 1), use_bias=False, dtype=self.dtype,
                             name="conv2d_7b")(x))
         if spatial_mean:
             x = jnp.mean(x, axis=(-3, -2))  # avgpool_1a + flatten

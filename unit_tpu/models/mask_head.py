@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.activations import relu
+
 
 class MaskRCNNConvUpsampleHead(nn.Module):
     """num_conv 3x3 convs -> 2x deconv -> 1x1 class-wise mask predictor."""
@@ -37,10 +39,10 @@ class MaskRCNNConvUpsampleHead(nn.Module):
         for i in range(self.num_conv):
             x = nn.Conv(self.conv_dim, (3, 3), padding="SAME", kernel_init=init,
                         dtype=self.dtype, name=f"mask_fcn{i + 1}")(x)
-            x = nn.relu(x)
+            x = relu(x)
         x = nn.ConvTranspose(self.conv_dim, (2, 2), strides=(2, 2), kernel_init=init,
                              dtype=self.dtype, name="deconv")(x)
-        x = nn.relu(x)
+        x = relu(x)
         logits = nn.Conv(self.num_classes, (1, 1),
                          kernel_init=nn.initializers.normal(0.001),
                          dtype=self.dtype, name="predictor")(x).astype(jnp.float32)

@@ -18,6 +18,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.activations import relu
+
 # d2 ResNet stage specs: number of bottleneck blocks per stage for each depth.
 BLOCKS_PER_STAGE = {
     26: (1, 1, 1, 1),  # tiny bottleneck variant for fast tests (not in d2)
@@ -74,14 +76,14 @@ class BottleneckBlock(nn.Module):
         out = nn.Conv(self.bottleneck_channels, (1, 1), strides=(s1, s1), use_bias=False,
                       dtype=self.dtype, name="conv1")(x)
         out = FrozenBN(self.bottleneck_channels, dtype=self.dtype, name="conv1_bn")(out)
-        out = nn.relu(out)
+        out = relu(out)
 
         d = self.dilation
         out = nn.Conv(self.bottleneck_channels, (3, 3), strides=(s3, s3),
                       padding=((d, d), (d, d)), kernel_dilation=(d, d), use_bias=False,
                       dtype=self.dtype, name="conv2")(out)
         out = FrozenBN(self.bottleneck_channels, dtype=self.dtype, name="conv2_bn")(out)
-        out = nn.relu(out)
+        out = relu(out)
 
         out = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv3")(out)
@@ -93,7 +95,7 @@ class BottleneckBlock(nn.Module):
             sc = FrozenBN(self.out_channels, dtype=self.dtype, name="shortcut_bn")(sc)
         else:
             sc = x
-        return nn.relu(out + sc)
+        return relu(out + sc)
 
 
 class ResNetStage(nn.Module):
@@ -136,7 +138,7 @@ class ResNetC4(nn.Module):
         x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="stem_conv1")(x)
         x = FrozenBN(self.stem_channels, dtype=self.dtype, name="stem_conv1_bn")(x)
-        x = nn.relu(x)
+        x = relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         blocks = BLOCKS_PER_STAGE[self.depth]

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.activations import relu
+
 from ..structures import boxes as box_ops
 from ..structures.instances import GTInstances, Proposals
 from ..ops import anchors as anchor_ops
@@ -38,7 +40,7 @@ class RPNHead(nn.Module):
         init = nn.initializers.normal(stddev=0.01)
         t = nn.Conv(self.conv_dim, (3, 3), padding="SAME", kernel_init=init,
                     dtype=self.dtype, name="conv")(features.astype(self.dtype))
-        t = nn.relu(t)
+        t = relu(t)
         logits = nn.Conv(self.num_anchors, (1, 1), kernel_init=init,
                          dtype=self.dtype, name="objectness_logits")(t)
         deltas = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init,

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.activations import relu
+
 from ..ops import roi_align as roi_align_ops
 from .resnet import Res5
 
@@ -133,7 +135,7 @@ class VisualAttentionHead(nn.Module):
         mean = attention.mean[class_slots]
         if self.mode == "matrix":
             # cosine similarity with relu (MeanMatrixSimilarity.compute_similarity)
-            return jax.nn.relu(query @ mean.T)
+            return jax.relu(query @ mean.T)
         if self.mode == "locatron":
             return query @ mean.T
         pi_normalizer = 0.5 * d * np.log(2 * np.pi)
