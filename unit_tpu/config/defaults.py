@@ -305,6 +305,12 @@ def get_cfg() -> CN:
     #                                      larger effective batch than fits in
     #                                      HBM; effective batch = IMS_PER_BATCH
     #                                      * GRAD_ACCUM
+    _C.TPU.PP = False                    # pipeline parallelism: 2-stage GPipe
+    #                                      over a (data x stage) mesh — stage 0
+    #                                      runs the backbone, stage 1 the heads,
+    #                                      pipelining the GRAD_ACCUM microbatches
+    #                                      with a ppermute feature handoff;
+    #                                      needs GRAD_ACCUM >= 2, devices = data*2
     _C.TPU.EVAL_BATCH_SIZE = 1           # non-TTA eval batch (ref is batch-1 only,
     #                                      rcnn.py:494; our predict path is batched)
     _C.TPU.DEBUG_NANS = False            # jax_debug_nans (device-side NaN traps)

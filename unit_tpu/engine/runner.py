@@ -169,7 +169,14 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0,
     n = num_devices or len(jax.devices())
     n = min(n, len(jax.devices()))
     tp = int(getattr(cfg.TPU, "TP", 1) or 1)
-    if tp > 1:
+    pp = bool(getattr(cfg.TPU, "PP", False))
+    if pp:
+        from ..parallel import make_mesh_pp
+
+        assert tp == 1, "TPU.PP does not compose with TPU.TP"
+        assert n % 2 == 0, f"TPU.PP needs an even device count, got {n}"
+        mesh = make_mesh_pp(n // 2, 2)
+    elif tp > 1:
         from ..parallel import make_mesh_tp
 
         assert n % tp == 0, f"device count {n} not divisible by TPU.TP={tp}"
@@ -223,7 +230,7 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0,
     trainer = trainer_cls(
         model, optimizer, strong_iter=strong_iter, weak_iter=weak_iter,
         meta_iter=meta_iter, rng=jax.random.PRNGKey(seed), mesh=mesh,
-        fsdp=cfg.TPU.FSDP, tp=tp > 1,
+        fsdp=cfg.TPU.FSDP, tp=tp > 1, pp=pp,
         grad_accum=grad_accum,
     )
     return model, optimizer, trainer, mesh

@@ -183,6 +183,172 @@ def make_train_step(
     )
 
 
+def make_pipeline_train_step(
+    model: WSRCNN,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    n_micro: int,
+    train_only_weak: bool = False,
+    remat: bool = True,
+) -> Callable:
+    """2-stage GPipe pipeline parallelism over a ('data', 'stage') mesh.
+
+    Beyond-reference scaling (the reference is DP-only): the train step is
+    split at the backbone/heads boundary — stage 0 runs ``backbone_features``
+    (the fused strong+weak backbone pass), stage 1 runs
+    ``train_losses(backbone_feats=...)`` (RPN + ROI heads + losses) — and the
+    ``TPU.GRAD_ACCUM`` microbatches are pipelined through the two stages
+    GPipe-style: a ``lax.scan`` over ``n_micro + 1`` ticks where, at tick i,
+    stage 0 computes microbatch i's features while stage 1 consumes microbatch
+    i-1's, with the feature-map handoff as a ``lax.ppermute`` over ICI.  The
+    backward pipeline needs no extra code: the ppermute's AD transpose is the
+    reverse ppermute, so cotangents flow stage 1 -> stage 0 tick by tick and
+    the backbone gradients materialize on the stage-0 devices.  Gradients are
+    psum'd over 'stage' (each stage holds its half) and pmean'd over 'data',
+    then ONE optimizer update applies — the same averaged-microbatch semantics
+    as ``grad_accum`` (bubble fraction 1/(n_micro+1)).
+
+    With ``remat`` (default), each stage recomputes its microbatch forward
+    during backward (the standard GPipe memory discipline: one microbatch's
+    activations resident per stage).
+
+    Composes with data parallelism on the first mesh axis.  Requirements:
+    both streams (if present) share one canvas per group (the trainer's
+    same-canvas stacking guarantees this), and no meta/support stream.
+    """
+    from ..parallel.mesh import PIPELINE_STAGES, STAGE_AXIS
+
+    assert STAGE_AXIS in mesh.axis_names, "pipeline step needs a 'stage' mesh axis"
+    n_stage = int(mesh.shape[STAGE_AXIS])
+    assert n_stage == PIPELINE_STAGES, f"2-stage pipeline only, got {n_stage}"
+    n_data = int(mesh.shape[mesh_lib.DATA_AXIS])
+    M = int(n_micro)
+    assert M >= 2, "pipeline parallelism pipelines TPU.GRAD_ACCUM microbatches; set GRAD_ACCUM >= 2"
+
+    needs_dropout = "VGG" in model.mc.box_head_name
+
+    def stage0(params, strong_mb, weak_mb):
+        return model.apply(
+            {"params": params}, strong=strong_mb, weak=weak_mb,
+            method=WSRCNN.backbone_features,
+        )
+
+    def stage1(params, feats, strong_mb, weak_mb, rng):
+        losses = model.apply(
+            {"params": params}, rng, strong_mb, weak_mb,
+            train_only_weak=train_only_weak, backbone_feats=feats,
+            method=WSRCNN.train_losses,
+            rngs={"dropout": jax.random.fold_in(rng, 7)} if needs_dropout else None,
+        )
+        total = jnp.asarray(0.0)
+        for v in losses.values():
+            total = total + v
+        return total, losses
+
+    stage0_fn = jax.checkpoint(stage0) if remat else stage0
+    stage1_fn = jax.checkpoint(stage1) if remat else stage1
+
+    def pick(tree, i):
+        if tree is None:
+            return None
+        return jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False), tree
+        )
+
+    def grad_fn_local(params, strong, weak, rng):
+        # Local shards: strong/weak are [M, B/n_data, ...]; params replicated.
+        if n_data > 1:
+            # decorrelate per-shard sampling rngs (GSPMD DP splits keys over
+            # the global batch; manual mode sees only the local batch)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(mesh_lib.DATA_AXIS))
+        s_idx = jax.lax.axis_index(STAGE_AXIS)
+        mb0 = (pick(strong, 0), pick(weak, 0))
+        feat_sds = jax.eval_shape(stage0, params, mb0[0], mb0[1])
+        _, loss_sds = jax.eval_shape(
+            stage1, params,
+            jax.ShapeDtypeStruct(feat_sds.shape, feat_sds.dtype),
+            mb0[0], mb0[1], rng,
+        )
+
+        def local_loss(params):
+            def tick(feats_in, i):
+                i0 = jnp.clip(i, 0, M - 1)
+                s_mb0, w_mb0 = pick(strong, i0), pick(weak, i0)
+                f = jax.lax.cond(
+                    (s_idx == 0) & (i < M),
+                    lambda: stage0_fn(params, s_mb0, w_mb0),
+                    lambda: jnp.zeros(feat_sds.shape, feat_sds.dtype),
+                )
+                i1 = jnp.clip(i - 1, 0, M - 1)
+                s_mb1, w_mb1 = pick(strong, i1), pick(weak, i1)
+                total_i, losses_i = jax.lax.cond(
+                    (s_idx == 1) & (i >= 1),
+                    lambda: stage1_fn(
+                        params, feats_in, s_mb1, w_mb1,
+                        jax.random.fold_in(rng, i1),
+                    ),
+                    lambda: (
+                        jnp.zeros((), jnp.float32),
+                        jax.tree.map(
+                            lambda sd: jnp.zeros(sd.shape, sd.dtype), loss_sds
+                        ),
+                    ),
+                )
+                f_next = jax.lax.ppermute(f, STAGE_AXIS, [(0, 1)])
+                return f_next, (total_i, losses_i)
+
+            feats_init = jnp.zeros(feat_sds.shape, feat_sds.dtype)
+            _, (totals, losses_seq) = jax.lax.scan(
+                tick, feats_init, jnp.arange(M + 1)
+            )
+            inv = 1.0 / M
+            total = jnp.sum(totals) * inv
+            losses = jax.tree.map(lambda x: jnp.sum(x, axis=0) * inv, losses_seq)
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(local_loss, has_aux=True)(params)
+        # stage 0 holds the backbone grads (arrived via the ppermute transpose),
+        # stage 1 the head grads; 'data' shards average like DP.
+        combine = lambda x: jax.lax.pmean(  # noqa: E731
+            jax.lax.psum(x, STAGE_AXIS), mesh_lib.DATA_AXIS
+        )
+        grads = jax.tree.map(combine, grads)
+        total = combine(total)
+        losses = jax.tree.map(combine, losses)
+        return total, losses, grads
+
+    P = jax.sharding.PartitionSpec
+    sharded_grad_fn = jax.shard_map(
+        grad_fn_local,
+        mesh=mesh,
+        in_specs=(P(), P(None, mesh_lib.DATA_AXIS), P(None, mesh_lib.DATA_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    def step_fn(state: TrainState, strong, weak, meta, rng):
+        assert meta is None, "pipeline parallelism does not support the meta/support stream"
+        total, losses, grads = sharded_grad_fn(state.params, strong, weak, rng)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt, step=state.step + 1
+        )
+        return new_state, metrics
+
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.data_sharded(mesh, axis=1)  # stacked [M, B, ...]: batch is dim 1
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,),
+        in_shardings=(repl, data, data, repl, repl),
+        out_shardings=(repl, repl),
+        compiler_options=_compiler_options(),
+    )
+
+
 def make_predict_fn(model: WSRCNN, mesh=None, with_proposals: bool = False) -> Callable:
     # WeakRCNN configs score with the weak detector alone (rcnn.py:21-185)
     method = (
@@ -237,6 +403,7 @@ class TrainerBase:
         fsdp: bool = False,
         tp: bool = False,
         grad_accum: int = 1,
+        pp: bool = False,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -254,6 +421,16 @@ class TrainerBase:
         self._accum_buf = {"strong": {}, "weak": {}}
         if fsdp and tp:
             raise ValueError("fsdp and tp are mutually exclusive sharding modes")
+        self.pp = bool(pp)
+        if self.pp and (fsdp or tp):
+            raise ValueError("pipeline parallelism does not compose with FSDP/TP")
+        if self.pp and self.grad_accum < 2:
+            raise ValueError(
+                "pipeline parallelism pipelines the TPU.GRAD_ACCUM microbatches; "
+                "set TPU.GRAD_ACCUM >= 2"
+            )
+        if self.pp and meta_iter is not None:
+            raise ValueError("pipeline parallelism does not support the meta stream")
         # FSDP / TP need the state pytree to derive per-leaf shardings, so the
         # step is built lazily in run_step once a state exists
         if mesh is not None and fsdp:
@@ -262,10 +439,16 @@ class TrainerBase:
             self._sharding_fn = mesh_lib.tp_sharding
         else:
             self._sharding_fn = None
-        self.train_step = None if self._sharding_fn else make_train_step(
-            model, optimizer, train_only_weak=train_only_weak, mesh=mesh,
-            grad_accum=self.grad_accum,
-        )
+        if self.pp:
+            self.train_step = make_pipeline_train_step(
+                model, optimizer, mesh, n_micro=self.grad_accum,
+                train_only_weak=train_only_weak,
+            )
+        else:
+            self.train_step = None if self._sharding_fn else make_train_step(
+                model, optimizer, train_only_weak=train_only_weak, mesh=mesh,
+                grad_accum=self.grad_accum,
+            )
         self._state: Optional[TrainState] = None
         self.stop_requested = False
         # host-side mirror of state.step: reading the device counter every step
@@ -310,8 +493,42 @@ class TrainerBase:
                 group = buffers.pop(key)
                 return jax.tree.map(lambda *xs: np.stack(xs), *group)
 
+    def _next_stacked_pair(self):
+        """PP variant of _next_stacked: the fused stage-0 backbone pass needs
+        the strong and weak groups to share ONE canvas, so groups are emitted
+        jointly — draw from both streams until some canvas has a full
+        grad_accum group in each (with the host-synchronized orientation
+        schedule both streams converge on the same canvas within a few
+        draws)."""
+        import numpy as np
+
+        sb, wb = self._accum_buf["strong"], self._accum_buf["weak"]
+        a = self.grad_accum
+
+        def ready():
+            for k_s, v_s in sb.items():
+                if len(v_s) < a:
+                    continue
+                for k_w, v_w in wb.items():
+                    if len(v_w) >= a and k_s[1:3] == k_w[1:3]:  # same H, W canvas
+                        return k_s, k_w
+            return None
+
+        while (r := ready()) is None:
+            b_s = next(self.strong_iter)
+            sb.setdefault(tuple(b_s["image"].shape), []).append(b_s)
+            b_w = next(self.weak_iter)
+            wb.setdefault(tuple(b_w["image"].shape), []).append(b_w)
+        k_s, k_w = r
+        group_s, sb[k_s] = sb[k_s][:a], sb[k_s][a:]
+        group_w, wb[k_w] = wb[k_w][:a], wb[k_w][a:]
+        stack = lambda g: jax.tree.map(lambda *xs: np.stack(xs), *g)  # noqa: E731
+        return stack(group_s), stack(group_w)
+
     def _next_batches(self):
-        if self.grad_accum > 1:
+        if self.pp and self.strong_iter is not None and self.weak_iter is not None:
+            strong, weak = self._next_stacked_pair()
+        elif self.grad_accum > 1:
             strong = (self._next_stacked(self.strong_iter, self._accum_buf["strong"])
                       if self.strong_iter is not None else None)
             weak = (self._next_stacked(self.weak_iter, self._accum_buf["weak"])

@@ -355,6 +355,28 @@ class WSRCNN(nn.Module):
             np.asarray(self.mc.base_ids),
         )
 
+    def backbone_features(
+        self,
+        strong: Optional[Dict[str, jnp.ndarray]] = None,
+        weak: Optional[Dict[str, jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        """Stage-0 half of the pipeline-parallel step: exactly the backbone
+        pass ``train_losses`` would run, exposed so a GPipe schedule can place
+        it on its own 'stage' mesh devices and hand the feature map to
+        ``train_losses(backbone_feats=...)`` over ICI.  With both streams
+        present they must share one canvas (the fused pass, see train_losses)."""
+        if strong is not None and weak is not None:
+            if strong["image"].shape[1:] != weak["image"].shape[1:]:
+                raise ValueError(
+                    "backbone_features requires a shared strong/weak canvas, got "
+                    f"{strong['image'].shape} vs {weak['image'].shape}"
+                )
+            return self.features(
+                jnp.concatenate([strong["image"], weak["image"]], axis=0)
+            )
+        src = strong if strong is not None else weak
+        return self.features(src["image"])
+
     def train_losses(
         self,
         rng: jax.Array,
@@ -362,12 +384,16 @@ class WSRCNN(nn.Module):
         weak: Optional[Dict[str, jnp.ndarray]],
         train_only_weak: bool = False,
         meta: Optional[Dict[str, jnp.ndarray]] = None,
+        backbone_feats: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """One training step's loss dict.
 
         strong: {image [B,H,W,3], gt_boxes [B,G,4], gt_classes [B,G],
                  gt_valid [B,G], image_size [B,2]}
         weak:   {image [Bw,H',W',3], labels [Bw,C], image_size [Bw,2]}
+        backbone_feats: optional precomputed ``backbone_features(strong, weak)``
+                 output (the pipeline-parallel stage-0 handoff) — the backbone
+                 pass is skipped and these features are consumed instead.
         """
         mc = self.mc
         losses: Dict[str, jnp.ndarray] = {}
@@ -382,10 +408,23 @@ class WSRCNN(nn.Module):
             strong is not None and weak is not None
             and strong["image"].shape[1:] == weak["image"].shape[1:]
         )
+        if backbone_feats is not None and not fused and strong is not None and weak is not None:
+            raise ValueError(
+                "backbone_feats requires a shared strong/weak canvas "
+                "(the fused backbone pass)"
+            )
+        if backbone_feats is not None and not fused:
+            if strong is not None:
+                feats = backbone_feats
+            else:
+                feats_w = backbone_feats
         if fused:
             bs = strong["image"].shape[0]
-            all_feats = self.features(
-                jnp.concatenate([strong["image"], weak["image"]], axis=0)
+            all_feats = (
+                backbone_feats if backbone_feats is not None
+                else self.features(
+                    jnp.concatenate([strong["image"], weak["image"]], axis=0)
+                )
             )
             feats, feats_w = all_feats[:bs], all_feats[bs:]
             all_logits, all_deltas = self.rpn(all_feats)
@@ -410,6 +449,7 @@ class WSRCNN(nn.Module):
             # weak-only WeakRCNN phase (rcnn.py:96-134) and TRAIN_ONLY_WEAK.
             if feats is None:
                 feats = self.features(strong["image"])
+            if logits is None:
                 logits, deltas = self.rpn(feats)
             fh, fw = feats.shape[1], feats.shape[2]
             anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)

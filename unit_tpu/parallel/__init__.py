@@ -1,8 +1,10 @@
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    STAGE_AXIS,
     make_mesh,
     make_mesh_tp,
+    make_mesh_pp,
     replicated,
     data_sharded,
     shard_batch,
@@ -14,7 +16,7 @@ from .mesh import (
 )
 
 __all__ = [
-    "DATA_AXIS", "MODEL_AXIS", "make_mesh", "make_mesh_tp", "replicated",
-    "data_sharded", "shard_batch", "replicate", "fsdp_sharding", "fsdp_shard",
-    "tp_sharding", "tp_shard",
+    "DATA_AXIS", "MODEL_AXIS", "STAGE_AXIS", "make_mesh", "make_mesh_tp",
+    "make_mesh_pp", "replicated", "data_sharded", "shard_batch", "replicate",
+    "fsdp_sharding", "fsdp_shard", "tp_sharding", "tp_shard",
 ]

@@ -161,6 +161,29 @@ def tp_shard(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(jax.device_put, tree, tp_sharding(mesh, tree))
 
 
+# --------------------------------------------------------------- PP (data x stage)
+# Beyond-reference scaling: pipeline parallelism.  A second 'stage' mesh axis
+# carries a 2-stage GPipe split of the train step — stage 0 runs the backbone,
+# stage 1 runs RPN + ROI heads + losses — with the feature-map handoff as a
+# lax.ppermute over ICI and the backward pipeline arising from the ppermute's
+# AD transpose (the "How to Scale Your Model" pipelining recipe).  The
+# schedule pipelines the TPU.GRAD_ACCUM microbatches; see
+# engine/train.py::make_pipeline_train_step.
+
+STAGE_AXIS = "stage"
+PIPELINE_STAGES = 2
+
+
+def make_mesh_pp(n_data: int, n_stage: int = PIPELINE_STAGES) -> Mesh:
+    devices = jax.devices()
+    n = n_data * n_stage
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    return Mesh(
+        np.asarray(devices[:n]).reshape(n_data, n_stage),
+        (DATA_AXIS, STAGE_AXIS),
+    )
+
+
 def make_mesh_2d(n_data: int, n_spatial: int) -> Mesh:
     devices = jax.devices()
     n = n_data * n_spatial
