@@ -89,3 +89,65 @@ def test_frozen_params_receive_exactly_zero_updates():
     # second step: frozen momentum stays identically zero
     updates2, _ = opt.update(grads, state2, params)
     assert float(jnp.abs(updates2["backbone"]["res2"]["b0"]["kernel"]).max()) == 0.0
+
+
+def test_weight_decay_bias_applied():
+    """Reference semantics: biases decay with SOLVER.WEIGHT_DECAY_BIAS, other
+    weights with SOLVER.WEIGHT_DECAY (solver/build.py:92-101 + d2 SGD groups)."""
+    cfg = get_cfg()
+    cfg.SOLVER.BASE_LR = 1.0
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.MOMENTUM = 0.0
+    cfg.SOLVER.WEIGHT_DECAY = 0.5
+    cfg.SOLVER.WEIGHT_DECAY_BIAS = 0.25
+    params = {"supervised": {"cls_score": {"kernel": jnp.ones((2,)),
+                                           "bias": jnp.ones((2,))}}}
+    opt = build_optimizer(cfg, params)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.zeros_like, params)  # isolate the decay term
+    updates, _ = opt.update(grads, state, params)
+    # update = -lr * wd * param
+    k = float(updates["supervised"]["cls_score"]["kernel"][0])
+    b = float(updates["supervised"]["cls_score"]["bias"][0])
+    assert abs(k + 0.5) < 1e-6, k
+    assert abs(b + 0.25) < 1e-6, b
+    # WEIGHT_DECAY_BIAS = 0 switches bias decay off entirely
+    cfg.SOLVER.WEIGHT_DECAY_BIAS = 0.0
+    opt0 = build_optimizer(cfg, params)
+    updates0, _ = opt0.update(grads, opt0.init(params), params)
+    assert float(jnp.abs(updates0["supervised"]["cls_score"]["bias"]).max()) == 0.0
+
+
+def test_auto_scale_workers():
+    """SOLVER.REFERENCE_WORLD_SIZE linear-scaling rule (reference README.md:51
+    -> d2 DefaultTrainer.auto_scale_workers)."""
+    from unit_tpu.engine.runner import auto_scale_workers
+
+    cfg = get_cfg()
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = 4
+    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.SOLVER.BASE_LR = 0.02
+    cfg.SOLVER.MAX_ITER = 30000
+    cfg.SOLVER.WARMUP_ITERS = 100
+    cfg.SOLVER.STEPS = (12000, 24000)
+    cfg.TEST.EVAL_PERIOD = 5000
+    cfg.SOLVER.CHECKPOINT_PERIOD = 5000
+    cfg.freeze()
+    out = auto_scale_workers(cfg, 8)
+    assert out.SOLVER.IMS_PER_BATCH == 16
+    assert abs(out.SOLVER.BASE_LR - 0.04) < 1e-9
+    assert out.SOLVER.MAX_ITER == 15000
+    assert out.SOLVER.WARMUP_ITERS == 50
+    assert tuple(out.SOLVER.STEPS) == (6000, 12000)
+    assert out.TEST.EVAL_PERIOD == 2500
+    assert out.SOLVER.CHECKPOINT_PERIOD == 2500
+    assert out.SOLVER.REFERENCE_WORLD_SIZE == 8
+    assert out.is_frozen()
+    # idempotent at the new world size; original cfg untouched
+    again = auto_scale_workers(out, 8)
+    assert again.SOLVER.IMS_PER_BATCH == 16
+    assert cfg.SOLVER.IMS_PER_BATCH == 8
+    # disabled when REFERENCE_WORLD_SIZE == 0 (the default)
+    cfg2 = get_cfg()
+    base_bs = cfg2.SOLVER.IMS_PER_BATCH
+    assert auto_scale_workers(cfg2, 8).SOLVER.IMS_PER_BATCH == base_bs

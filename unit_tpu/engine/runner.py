@@ -99,6 +99,48 @@ def default_argument_parser():
     return parser
 
 
+def auto_scale_workers(cfg, num_workers: int):
+    """SOLVER.REFERENCE_WORLD_SIZE linear-scaling-rule adjustment.
+
+    The reference documents this knob for running its 4-GPU recipes on other
+    worker counts (/root/reference/README.md:51, deferring to d2's
+    DefaultTrainer.auto_scale_workers).  Semantics reproduced here: when
+    REFERENCE_WORLD_SIZE is nonzero and differs from the actual device count,
+    the global batch and BASE_LR scale UP by num_workers/old, and the
+    iteration-denominated quantities (MAX_ITER, WARMUP_ITERS, STEPS,
+    EVAL_PERIOD, CHECKPOINT_PERIOD) scale DOWN, keeping total epochs and the
+    LR-vs-epoch curve invariant.  REFERENCE_WORLD_SIZE is rewritten to
+    num_workers so the scaling is idempotent (the saved config can be reused).
+    """
+    old = cfg.SOLVER.REFERENCE_WORLD_SIZE
+    if old == 0 or old == num_workers:
+        return cfg
+    was_frozen = cfg.is_frozen()
+    cfg = cfg.clone()
+    cfg.defrost()
+    if cfg.SOLVER.IMS_PER_BATCH % old != 0:
+        raise ValueError(
+            f"SOLVER.IMS_PER_BATCH {cfg.SOLVER.IMS_PER_BATCH} not divisible by "
+            f"REFERENCE_WORLD_SIZE {old}")
+    scale = num_workers / old
+    cfg.SOLVER.IMS_PER_BATCH = int(round(cfg.SOLVER.IMS_PER_BATCH * scale))
+    cfg.SOLVER.BASE_LR = cfg.SOLVER.BASE_LR * scale
+    cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER / scale))
+    cfg.SOLVER.WARMUP_ITERS = int(round(cfg.SOLVER.WARMUP_ITERS / scale))
+    cfg.SOLVER.STEPS = tuple(int(round(s / scale)) for s in cfg.SOLVER.STEPS)
+    cfg.TEST.EVAL_PERIOD = int(round(cfg.TEST.EVAL_PERIOD / scale))
+    cfg.SOLVER.CHECKPOINT_PERIOD = int(round(cfg.SOLVER.CHECKPOINT_PERIOD / scale))
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = num_workers
+    logging.getLogger("unit_tpu").info(
+        "auto_scale_workers: %d -> %d workers; IMS_PER_BATCH=%d BASE_LR=%g "
+        "MAX_ITER=%d WARMUP_ITERS=%d STEPS=%s",
+        old, num_workers, cfg.SOLVER.IMS_PER_BATCH, cfg.SOLVER.BASE_LR,
+        cfg.SOLVER.MAX_ITER, cfg.SOLVER.WARMUP_ITERS, cfg.SOLVER.STEPS)
+    if was_frozen:
+        cfg.freeze()
+    return cfg
+
+
 def setup(args):
     # UNIT_TPU_PLATFORM=cpu forces the CPU backend through the config API (the
     # axon harness pins JAX_PLATFORMS in the env, so the env var alone is
@@ -124,6 +166,8 @@ def setup(args):
         cfg.merge_from_file(args.config_file)
     if args.opts:
         cfg.merge_from_list(args.opts)
+    num_devices = getattr(args, "num_gpus", 0) or len(jax.devices())
+    cfg = auto_scale_workers(cfg, num_devices)
     cfg.freeze()
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
     setup_logger(cfg.OUTPUT_DIR)

@@ -41,8 +41,12 @@ def warmup_multistep(
 
     def schedule(count):
         it = jnp.asarray(count, jnp.float32)
-        alpha = jnp.clip(it / max(warmup_iters, 1), 0.0, 1.0)
-        warm = warmup_factor * (1.0 - alpha) + alpha
+        if warmup_iters <= 0:
+            # d2 _get_warmup_factor_at_iter returns 1.0 once iter >= warmup_iters
+            warm = 1.0
+        else:
+            alpha = jnp.clip(it / warmup_iters, 0.0, 1.0)
+            warm = warmup_factor * (1.0 - alpha) + alpha
         decay = gamma ** jnp.sum(it >= milestones.astype(jnp.float32))
         return base_lr * warm * decay
 
@@ -147,8 +151,17 @@ def build_optimizer(cfg, params, extra_frozen: Iterable[str] = ()) -> optax.Grad
         else lr_factor_for(path_str(p), cfg),
         params,
     )
+    # Reference semantics (solver/build.py:92-101 + d2 SGD param groups): biases
+    # decay with SOLVER.WEIGHT_DECAY_BIAS (default == WEIGHT_DECAY), other
+    # weights with SOLVER.WEIGHT_DECAY.  WEIGHT_DECAY_NORM is moot here: every
+    # norm layer is FrozenBN whose params never reach the optimizer.
     wd_mask = jax.tree_util.tree_map_with_path(
         lambda p, _: (not path_str(p).endswith("bias"))
+        and not is_frozen(path_str(p), cfg, extra_frozen),
+        params,
+    )
+    wd_bias_mask = jax.tree_util.tree_map_with_path(
+        lambda p, _: path_str(p).endswith("bias")
         and not is_frozen(path_str(p), cfg, extra_frozen),
         params,
     )
@@ -175,6 +188,9 @@ def build_optimizer(cfg, params, extra_frozen: Iterable[str] = ()) -> optax.Grad
             chain.append(optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
     if cfg.SOLVER.WEIGHT_DECAY:
         chain.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY, mask=wd_mask))
+    wd_bias = float(cfg.SOLVER.WEIGHT_DECAY_BIAS)
+    if wd_bias:
+        chain.append(optax.add_decayed_weights(wd_bias, mask=wd_bias_mask))
     chain.append(
         optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV)
     )
