@@ -17,7 +17,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..config import get_cfg
+from ..config import get_cfg, validate_registry_names
 from ..checkpoint import (
     Checkpointer,
     PeriodicCheckpointerWithEval,
@@ -169,6 +169,7 @@ def setup(args):
     num_devices = getattr(args, "num_gpus", 0) or len(jax.devices())
     cfg = auto_scale_workers(cfg, num_devices)
     cfg.freeze()
+    validate_registry_names(cfg)  # reject unknown registry names at setup
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
     setup_logger(cfg.OUTPUT_DIR)
     if cfg.TPU.DEBUG_NANS:

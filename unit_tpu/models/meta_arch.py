@@ -106,6 +106,9 @@ class ModelConfig:
 
     @classmethod
     def from_cfg(cls, cfg, class_names=None) -> "ModelConfig":
+        from ..config.validate import validate_registry_names
+
+        validate_registry_names(cfg)  # unknown registry names fail loudly here
         num_classes = cfg.MODEL.ROI_HEADS.NUM_CLASSES
         if class_names is None:
             class_names = (
@@ -657,15 +660,17 @@ class WSRCNN(nn.Module):
             oicr_weight_mean=self.oicr_weight_mean() if needs_weights else None,
         )
 
-    def predict(
+    def predict_raw(
         self, images: jnp.ndarray, image_sizes: jnp.ndarray,
         with_transfer: bool = True,
         proposal_boxes: Optional[jnp.ndarray] = None,
         proposal_valid: Optional[jnp.ndarray] = None,
-    ) -> Detections:
-        """Batched inference (generalizes the reference's batch-1-only path,
-        rcnn.py:493-542).  With ``proposal_boxes`` given (PrecomputedProposals,
-        the dock suite), the RPN is skipped entirely."""
+    ):
+        """Everything of :meth:`predict` up to (but excluding) the final NMS:
+        returns ``(probs [B,P,C+1], bbox [B,P,C*4], proposals, feats)``.
+        Split out so the full-graph torch parity test can compare pre-NMS
+        scores/deltas directly (the NMS itself has its own greedy-reference
+        tests)."""
         mc = self.mc
         feats = self.features(images)
         if proposal_boxes is not None:
@@ -715,6 +720,21 @@ class WSRCNN(nn.Module):
 
         probs = jax.nn.softmax(scores, axis=-1).reshape(b, p, -1)
         bbox = bbox.reshape(b, p, -1)
+        return probs, bbox, proposals, feats
+
+    def predict(
+        self, images: jnp.ndarray, image_sizes: jnp.ndarray,
+        with_transfer: bool = True,
+        proposal_boxes: Optional[jnp.ndarray] = None,
+        proposal_valid: Optional[jnp.ndarray] = None,
+    ) -> Detections:
+        """Batched inference (generalizes the reference's batch-1-only path,
+        rcnn.py:493-542).  With ``proposal_boxes`` given (PrecomputedProposals,
+        the dock suite), the RPN is skipped entirely."""
+        mc = self.mc
+        probs, bbox, proposals, feats = self.predict_raw(
+            images, image_sizes, with_transfer, proposal_boxes, proposal_valid
+        )
         dets = jax.vmap(
             lambda pr, bx, pb, pv, hw: frcnn.fast_rcnn_inference_single(
                 pr, bx, pb, pv, (hw[0], hw[1]), mc.frcnn
