@@ -240,6 +240,36 @@ def make_linear(p):
 # the test
 # --------------------------------------------------------------------------- #
 
+def test_roi_align_v2_vs_independent_torch():
+    """Op-level cross-check of roi_align_xla against the independent torch
+    ROIAlignV2 above (round-3 review: the NumPy golden in test_roi_align.py is
+    a transcription; this one is a second, independently written
+    implementation). Random feature maps, boxes spanning in-bounds,
+    partially-out-of-bounds and sub-bin-sized cases."""
+    from unit_tpu.ops.roi_align import roi_align_xla
+
+    rng = np.random.RandomState(11)
+    H, W, C = 25, 37, 8
+    feat = rng.randn(H, W, C).astype(np.float32)
+    n = 40
+    x1 = rng.uniform(-40, W * 16, n)
+    y1 = rng.uniform(-40, H * 16, n)
+    rois = np.stack(
+        [x1, y1, x1 + rng.uniform(0.5, 500, n), y1 + rng.uniform(0.5, 500, n)], -1
+    ).astype(np.float32)
+
+    ours = np.asarray(
+        roi_align_xla(jnp.asarray(feat), jnp.asarray(rois), output_size=7,
+                      spatial_scale=1.0 / 16.0, sampling_ratio=2, aligned=True)
+    )
+    theirs = torch_roi_align_v2(
+        torch.as_tensor(feat), rois, p=7, scale=1.0 / 16.0, sr=2
+    ).numpy()
+    assert ours.shape == theirs.shape
+    d = np.abs(ours - theirs).max()
+    assert d < 1e-5, f"ROIAlignV2 op mismatch: max|diff|={d}"
+
+
 @pytest.mark.slow
 def test_full_inference_graph_parity():
     depth = 26
