@@ -18,6 +18,12 @@ for continuity with rounds 1-2.
 vs_baseline compares against the reference stack's measured/estimated
 ~2.5 images/sec/GPU for the same recipe (Detectron2 R-C4 at IMS_PER_BATCH 8
 over 4 GPUs; the reference repo publishes no numbers — see BASELINE.md).
+
+Two regimes per model (round 4): ``value`` is the 2-strong + 2-weak per-chip
+batch (the per-GPU share of the 4-GPU recipe — the like-for-like per-device
+comparison), ``global_batch8_value`` runs the FULL recipe batch (8 strong +
+8 weak) on one chip — the natural single-chip deployment (BASELINE.md
+"Batch scaling" table for the b-sweep).
 """
 
 from __future__ import annotations
@@ -78,8 +84,16 @@ def _make_batches(mc, n_batches=4, b=2, h=800, w=1344):
     return out
 
 
-def _measure(depth: int):
-    """-> (steady_state_img_per_s, init_regime_img_per_s)."""
+def _measure(depth: int, global_batch: int = 8):
+    """-> (steady_state_img_per_s, init_regime_img_per_s, global_batch_img_per_s).
+
+    The first two numbers are the rounds-1..3 2-strong + 2-weak series (the
+    per-GPU share of the reference's 4-GPU IMS_PER_BATCH-8 recipe — the
+    like-for-like per-chip comparison).  The third runs the SAME warmed
+    parameters with the full recipe batch on one chip (``global_batch`` strong
+    + ``global_batch`` weak images per step) — the natural single-chip
+    deployment regime (BASELINE.md "Batch scaling").
+    """
     from __graft_entry__ import _bench_optimizer, _model_config
     from unit_tpu.engine import create_train_state, make_train_step
     from unit_tpu.models import WSRCNN
@@ -101,21 +115,20 @@ def _measure(depth: int):
     float(np.asarray(metrics["total_loss"]))  # host fetch = hard sync
 
     n_iter = 10
-    imgs_per_step = 2 * b  # strong + weak images both run the backbone
 
-    def timed(key0):
+    def timed(key0, tbatches, tb):
         nonlocal state
         t0 = time.perf_counter()
         for i in range(n_iter):
             state, metrics = step(
-                state, *batches[i % len(batches)], None, jax.random.PRNGKey(key0 + i)
+                state, *tbatches[i % len(tbatches)], None, jax.random.PRNGKey(key0 + i)
             )
         # a real host fetch is the only reliable barrier on remote-attached
         # TPUs (block_until_ready can return early through the tunnel)
         float(np.asarray(metrics["total_loss"]))
-        return imgs_per_step * n_iter / (time.perf_counter() - t0)
+        return 2 * tb * n_iter / (time.perf_counter() - t0)
 
-    init_regime = timed(100)  # lr still ~0 here: random-init proposal regime
+    init_regime = timed(100, batches, b)  # lr ~0 here: random-init regime
 
     for i in range(1 + n_iter, WARMUP_STEPS):
         state, metrics = step(
@@ -124,13 +137,28 @@ def _measure(depth: int):
     tl = float(np.asarray(metrics["total_loss"]))
     assert tl == tl, "warmup diverged to NaN"
 
-    steady = timed(9000)
-    return steady, init_regime
+    steady = timed(9000, batches, b)
+
+    # Full-recipe batch on one chip, same warmed params (the step re-traces for
+    # the new shapes; the lr schedule is already past steady so the trained RPN
+    # regime is preserved).
+    batch_full = None
+    if global_batch and global_batch != b:
+        try:
+            batches_g = _make_batches(mc, n_batches=2, b=global_batch)
+            state, metrics = step(state, *batches_g[0], None, jax.random.PRNGKey(2))
+            tl = float(np.asarray(metrics["total_loss"]))
+            assert tl == tl, "global-batch step produced NaN"
+            batch_full = timed(9500, batches_g, global_batch)
+        except Exception as e:  # HBM OOM etc: the headline series must survive
+            print(f"# global-batch-{global_batch} series failed: {e!r}", flush=True)
+            batch_full = None
+    return steady, init_regime, batch_full
 
 
 def main():
     # R-50-C4 series (rounds 1-2 continuity)
-    v50, v50_init = _measure(50)
+    v50, v50_init, v50_gb = _measure(50)
     print(
         json.dumps(
             {
@@ -139,13 +167,14 @@ def main():
                 "unit": "img/s",
                 "vs_baseline": round(v50 / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
                 "init_regime_value": round(v50_init, 3),
+                "global_batch8_value": round(v50_gb, 3) if v50_gb else None,
             }
         ),
         flush=True,
     )
     # flagship R-101-C4 (the config BASELINE.json's metric names:
     # configs/VOC/VOC-RCNN-101-C4-split1.yaml) — LAST line is the headline
-    v101, v101_init = _measure(101)
+    v101, v101_init, v101_gb = _measure(101)
     print(
         json.dumps(
             {
@@ -154,6 +183,7 @@ def main():
                 "unit": "img/s",
                 "vs_baseline": round(v101 / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
                 "init_regime_value": round(v101_init, 3),
+                "global_batch8_value": round(v101_gb, 3) if v101_gb else None,
                 "r50_c4_value": round(v50, 3),
             }
         ),
