@@ -92,3 +92,42 @@ def test_meta_trainer_steps_and_eval(synthetic_voc, monkeypatch):
     batch = next(iter(loader))
     det = predict(trainer.state.params, batch["image"], batch["image_size"])
     assert np.asarray(det.boxes).ndim == 3
+
+
+@pytest.mark.slow
+def test_meta_rank_loss_when_sampler_slots_below_roi_batch_size(
+    synthetic_voc, monkeypatch
+):
+    """Regression: rank-loss subsample must use the sampler's ACTUAL slot
+    count.  When POST_NMS_TOPK_TRAIN + MAX_GT_BOXES < BATCH_SIZE_PER_IMAGE the
+    sampler emits fewer than roi_batch_size proposals per image; the rank-loss
+    reshape used to hardcode mc.roi_batch_size and crash (found by the meta
+    CLI chip-smoke, round 4).  Ref: roi_heads.py:409-420 subsamples whatever
+    proposal set exists."""
+    DatasetCatalog.clear()
+    cfg = _meta_cfg(synthetic_voc)
+    # 64 post-NMS + 10 GT slots = 74 < 128 requested per image
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 128
+    RegisterVOC(cfg, synthetic_voc).register_all()
+
+    import unit_tpu.data.transforms as T
+
+    monkeypatch.setattr(T, "load_image_bgr", lambda path: None)
+    import unit_tpu.data.loader as loader_mod
+
+    model, optimizer, trainer, mesh = runner.build_everything(cfg, num_devices=1)
+    trainer.strong_iter = iter(
+        loader_mod.build_strong_loader(cfg, image_loader=_fake_image_loader)
+    )
+    trainer.weak_iter = iter(
+        loader_mod.build_classifier_loader(cfg, image_loader=_fake_image_loader)
+    )
+    trainer.meta_iter = iter(
+        loader_mod.build_support_loader(
+            cfg, "voc_base_training_support", image_loader=_fake_image_loader
+        )
+    )
+    trainer.init_state(sample_shape=(1, 64, 64, 3))
+    m1 = trainer.run_step()
+    for key in ("loss_rank_margin", "loss_rank_reg", "loss_rank_cls"):
+        assert key in m1 and np.isfinite(m1[key])

@@ -537,11 +537,15 @@ class WSRCNN(nn.Module):
                 )
 
             if mc.use_meta and meta is not None:
-                # rank loss over a proposal subsample (roi_heads.py:409-420)
+                # rank loss over a proposal subsample (roi_heads.py:409-420).
+                # The sampler emits min(roi_batch_size, post_nms_topk + gt
+                # slots) proposals per image — use the actual slot count, not
+                # mc.roi_batch_size (which overshoots on small-topk configs).
                 attention = self.compute_meta_attention(meta)
-                ks = min(mc.rank_loss_slots, mc.roi_batch_size)
+                n_slots = sampled.boxes.shape[1]
+                ks = min(mc.rank_loss_slots, n_slots)
                 shp = pooled.shape[1:]
-                pooled_sel = pooled.reshape(b, mc.roi_batch_size, *shp)[:, :ks]
+                pooled_sel = pooled.reshape(b, n_slots, *shp)[:, :ks]
                 losses.update(
                     self.visual_attention.rank_loss(
                         pooled_sel.reshape((-1,) + shp),
