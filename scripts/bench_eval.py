@@ -20,6 +20,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 4])
+    ap.add_argument(
+        "--tta", action="store_true",
+        help="also time the full TTA protocol (TEST.AUG defaults: 5 scales x "
+        "flip = 10 variants, grouped flip-pair batching) per image",
+    )
     args = ap.parse_args()
 
     import jax
@@ -61,6 +66,57 @@ def main():
         print(
             f"eval batch {b}: {ips:.2f} img/s  "
             f"({1000.0 / ips:.1f} s per 1k images, {dt / args.iters * 1e3:.1f} ms/batch)"
+        )
+
+    if args.tta:
+        # The reference's best-number protocol (rcnn.py:136-185): proposals
+        # from the canonical frame, re-scored at TEST.AUG.MIN_SIZES x flip
+        # (10 variants with the defaults).  Ours batches each scale's
+        # flip pair through one backbone pass (predict_tta grouping).
+        from unit_tpu.data.transforms import _canvas_for
+
+        min_sizes = (480, 576, 688, 864, 1200)
+        max_size, div = 2000, 32
+        spec = []
+        for ms in min_sizes:
+            ch, cw = _canvas_for(ms, max_size, div)
+            scale = ms / 800.0
+            th, tw = ms, min(int(round(1333 * scale)), max_size)
+            for flip in (False, True):
+                spec.append((ch, cw, th, tw, scale, flip))
+        var_arrays = [
+            (
+                jnp.asarray(rng.rand(1, ch, cw, 3), jnp.float32) * 255,
+                jnp.asarray([[th, tw]], jnp.float32),
+                np.float32(scale),
+            )
+            for ch, cw, th, tw, scale, flip in spec
+        ]
+        flips = tuple(s[-1] for s in spec)
+
+        @jax.jit
+        def tta_fn(params, cimg, csz, var_arrays):
+            variants = [
+                {"image": im, "image_size": sz, "scale": sc, "flip": fl}
+                for (im, sz, sc), fl in zip(var_arrays, flips)
+            ]
+            return model.apply(
+                {"params": params}, cimg, csz, variants, method=WSRCNN.predict_tta
+            )
+
+        cimg = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32) * 255
+        csz = jnp.asarray([[800, 1333]], jnp.float32)
+        det = tta_fn(variables["params"], cimg, csz, var_arrays)
+        float(np.asarray(det.scores).sum())
+        iters = max(1, args.iters // 2)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            det = tta_fn(variables["params"], cimg, csz, var_arrays)
+        float(np.asarray(det.scores).sum())
+        per_img = (time.perf_counter() - t0) / iters
+        print(
+            f"TTA ({len(spec)} variants, grouped flip pairs): "
+            f"{per_img:.3f} s/img ({1.0 / per_img:.2f} img/s)"
         )
 
 

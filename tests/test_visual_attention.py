@@ -52,6 +52,47 @@ def test_meta_train_step_with_rank_loss():
         assert k in losses and np.isfinite(float(losses[k])), k
 
 
+def test_support_stream_is_backbone_detached():
+    """Regression: the support-stream backbone pass must be fully detached
+    (rcnn.py:315-316 wraps process_meta_data in torch.no_grad()), while the
+    meta box head downstream of the pooler still trains from the prototypes
+    (roi_heads.py attention forward runs with grad).  Found in round 4: the
+    extra support-stream backbone gradients (C*K=15 shots/step) destabilized
+    the on-chip meta run into NaN at iter ~700."""
+    mc = tiny_config(use_meta=True, rank_loss_slots=8)
+    model = WSRCNN(mc=mc)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.asarray([[64, 64]], jnp.float32),
+    )
+    c_base = len(mc.base_ids)
+    rng = np.random.RandomState(0)
+    meta = {
+        "image": jnp.asarray(rng.rand(c_base, 1, 32, 32, 3).astype(np.float32)),
+        "boxes": jnp.asarray(
+            np.tile(np.asarray([[4.0, 4.0, 28.0, 28.0]], np.float32), (c_base, 1, 1))
+        ),
+        "class_valid": jnp.ones((c_base,), bool),
+    }
+
+    def proto_sum(params):
+        att = model.apply(
+            {"params": params}, meta, method=WSRCNN.compute_meta_attention
+        )
+        return jnp.sum(att.mean ** 2)
+
+    grads = jax.grad(proto_sum)(variables["params"])
+    backbone_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["backbone"])
+    )
+    head_norm = sum(
+        float(jnp.abs(g).sum())
+        for g in jax.tree_util.tree_leaves(grads["visual_attention"])
+    )
+    assert backbone_norm == 0.0, "support stream leaked gradients into the backbone"
+    assert head_norm > 0.0, "meta box head must still train from the support stream"
+
+
 @pytest.mark.slow
 def test_matrix_head_nonstandard_feature_dim():
     """sim_matrix sizes itself from res2_out_channels (no 2048 hardcode)."""

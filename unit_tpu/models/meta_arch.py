@@ -351,7 +351,10 @@ class WSRCNN(nn.Module):
         """
         c, k = support["image"].shape[:2]
         imgs = support["image"].reshape((-1,) + support["image"].shape[2:])
-        feats = self.features(imgs)
+        # the support-stream backbone pass is fully detached in the reference
+        # (rcnn.py:315-316 wraps process_meta_data in torch.no_grad()); only the
+        # meta box head downstream of the pooler trains from the rank losses
+        feats = jax.lax.stop_gradient(self.features(imgs))
         feats = feats.reshape((c, k) + feats.shape[1:])
         return self.visual_attention.support_prototypes(
             feats, support["boxes"], support["class_valid"],

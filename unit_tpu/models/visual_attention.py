@@ -135,7 +135,7 @@ class VisualAttentionHead(nn.Module):
         mean = attention.mean[class_slots]
         if self.mode == "matrix":
             # cosine similarity with relu (MeanMatrixSimilarity.compute_similarity)
-            return jax.relu(query @ mean.T)
+            return jax.nn.relu(query @ mean.T)
         if self.mode == "locatron":
             return query @ mean.T
         pi_normalizer = 0.5 * d * np.log(2 * np.pi)
