@@ -167,6 +167,16 @@ def main():
         rng.rand(*pooled_shape).astype(np.float32), DT
     )
 
+    # dotentry must be numerically IDENTICAL to conv with shared params
+    # (a strided 1x1 conv is exactly subsample+matmul); assert before timing
+    y_conv = jax.jit(lambda p, x: stage.apply(p, x))(v_conv, pooled_direct)
+    y_dot = jax.jit(lambda p, x: stage_dot.apply(p, x))(v_conv, pooled_direct)
+    np.testing.assert_allclose(
+        np.asarray(y_conv, np.float32), np.asarray(y_dot, np.float32),
+        rtol=2e-2, atol=2e-2,  # bf16 accumulation-order noise only
+    )
+    print("equality check: dotentry == conv (shared params) OK")
+
     results = {}
     for name, (apply_fn, vs, via_pallas, inp) in {
         "conv": (lambda p, x: stage.apply(p, x), v_conv, True, feats),
