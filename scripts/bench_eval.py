@@ -25,6 +25,10 @@ def main():
         help="also time the full TTA protocol (TEST.AUG defaults: 5 scales x "
         "flip = 10 variants, grouped flip-pair batching) per image",
     )
+    ap.add_argument(
+        "--fold-bn", action="store_true",
+        help="fold FrozenBN into conv kernels before timing (TPU.FOLD_BN_AT_EVAL)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -51,6 +55,14 @@ def main():
         )
     )()
     predict = make_predict_fn(model)
+
+    params = variables["params"]
+    if args.fold_bn:
+        from unit_tpu.utils.bn_fold import fold_frozen_bn
+
+        params = jax.jit(fold_frozen_bn)(params)
+        print("FrozenBN folded into conv kernels (eval-only transform)")
+    variables = {"params": params}
 
     for b in args.batches:
         imgs = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32) * 255

@@ -313,6 +313,10 @@ def get_cfg() -> CN:
     #                                      needs GRAD_ACCUM >= 2, devices = data*2
     _C.TPU.EVAL_BATCH_SIZE = 1           # non-TTA eval batch (ref is batch-1 only,
     #                                      rcnn.py:494; our predict path is batched)
+    _C.TPU.FOLD_BN_AT_EVAL = False       # fold FrozenBN into conv kernels for the
+    #                                      forward-only eval pass (utils/bn_fold.py;
+    #                                      off by default: the reference never folds,
+    #                                      and folding reorders bf16 rounding)
     _C.TPU.DEBUG_NANS = False            # jax_debug_nans (device-side NaN traps)
     _C.TPU.PROFILE_START_STEP = 0        # >0: jax.profiler trace of the live run
     _C.TPU.PROFILE_NUM_STEPS = 3         # ... covering this many steps, written

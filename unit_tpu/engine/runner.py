@@ -380,6 +380,12 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
             for rec in _host_shard(DatasetCatalog.get(name)):
                 evaluator.process_gt_record(rec)
             params = state.params if hasattr(state, "params") else state
+            if getattr(cfg.TPU, "FOLD_BN_AT_EVAL", False):
+                # eval-only Conv+FrozenBN fold (utils/bn_fold.py): -22% forward
+                # on backbone blocks, rejected for training (BASELINE.md round 4)
+                from ..utils.bn_fold import fold_frozen_bn
+
+                params = fold_frozen_bn(params)
             if use_tta:
                 from ..data.loader import build_tta_test_loader
 

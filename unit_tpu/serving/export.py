@@ -96,6 +96,12 @@ def export_predict(
         with_proposals = bool(
             cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TEST
         )
+    if getattr(cfg.TPU, "FOLD_BN_AT_EVAL", False):
+        # exported programs are forward-only: fold FrozenBN into the conv
+        # kernels once so every serving call skips the epilogue multiplies
+        from ..utils.bn_fold import fold_frozen_bn
+
+        params = fold_frozen_bn(params)
     predict_flat = make_flat_predict(model, params, with_proposals)
     checks = _disabled_checks(jax_export)
 

@@ -222,6 +222,10 @@ class DetectionService:
         else:
             from ..engine.train import make_predict_fn
 
+            if getattr(cfg.TPU, "FOLD_BN_AT_EVAL", False):
+                from ..utils.bn_fold import fold_frozen_bn
+
+                params = fold_frozen_bn(params)
             fn = make_predict_fn(model)
             self._predict = lambda img, sz: fn(params, img, sz)
         self.batch_size = int(batch_size)
