@@ -91,6 +91,53 @@ def test_pipeline_matches_grad_accum():
 
 
 @pytest.mark.slow
+def test_pipeline_4stage_matches_grad_accum():
+    """(1 x 4) pipeline (stem+res2 | res3 | res4 | heads) == grad_accum.
+
+    Exercises the N-stage generalization: intra-backbone segment splits,
+    heterogeneous boundary shapes riding the flat handoff buffer, and a
+    3-hop ppermute chain with its AD-transposed backward pipeline."""
+    model, opt = tiny_model()
+    m, b = 4, 1
+    strong, weak = _stacked_batches(m, b)
+    key = jax.random.PRNGKey(1)
+
+    state_a = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 64, 64, 3))
+    step_a = make_train_step(model, opt, grad_accum=m)
+    new_a, metrics_a = step_a(state_a, strong, weak, None, key)
+
+    mesh = make_mesh_pp(1, 4)
+    state_p = replicate(
+        mesh, create_train_state(model, opt, jax.random.PRNGKey(0), (1, 64, 64, 3))
+    )
+    step_p = make_pipeline_train_step(model, opt, mesh, n_micro=m)
+    new_p, metrics_p = step_p(
+        state_p, shard_batch(mesh, strong, axis=1),
+        shard_batch(mesh, weak, axis=1), None, key,
+    )
+
+    for k in metrics_a:
+        np.testing.assert_allclose(
+            float(metrics_a[k]), float(metrics_p[k]), rtol=2e-4, atol=2e-5,
+            err_msg=k,
+        )
+    pa = jax.tree_util.tree_leaves_with_path(new_a.params)
+    pp = dict(jax.tree_util.tree_leaves_with_path(new_p.params))
+    for path, va in pa:
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(pp[path]), rtol=1e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_pipeline_stage_count_validation():
+    model, opt = tiny_model()
+    mesh = make_mesh_pp(1, 6)
+    with pytest.raises(AssertionError, match="stages"):
+        make_pipeline_train_step(model, opt, mesh, n_micro=2)
+
+
+@pytest.mark.slow
 def test_pipeline_dp_x_pp_and_strong_only():
     """(2 x 2) dp x pp runs finite; strong-only (fine-tune) stream works."""
     model, opt = tiny_model()

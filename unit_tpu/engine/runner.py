@@ -219,8 +219,11 @@ def build_everything(cfg, num_devices: Optional[int] = None, seed: int = 0,
         from ..parallel import make_mesh_pp
 
         assert tp == 1, "TPU.PP does not compose with TPU.TP"
-        assert n % 2 == 0, f"TPU.PP needs an even device count, got {n}"
-        mesh = make_mesh_pp(n // 2, 2)
+        stages = int(getattr(cfg.TPU, "PP_STAGES", 2) or 2)
+        assert n % stages == 0, (
+            f"TPU.PP needs a device count divisible by TPU.PP_STAGES={stages}, got {n}"
+        )
+        mesh = make_mesh_pp(n // stages, stages)
     elif tp > 1:
         from ..parallel import make_mesh_tp
 

@@ -191,22 +191,26 @@ def make_pipeline_train_step(
     train_only_weak: bool = False,
     remat: bool = True,
 ) -> Callable:
-    """2-stage GPipe pipeline parallelism over a ('data', 'stage') mesh.
+    """N-stage GPipe pipeline parallelism over a ('data', 'stage') mesh.
 
     Beyond-reference scaling (the reference is DP-only): the train step is
-    split at the backbone/heads boundary — stage 0 runs ``backbone_features``
-    (the fused strong+weak backbone pass), stage 1 runs
-    ``train_losses(backbone_feats=...)`` (RPN + ROI heads + losses) — and the
-    ``TPU.GRAD_ACCUM`` microbatches are pipelined through the two stages
-    GPipe-style: a ``lax.scan`` over ``n_micro + 1`` ticks where, at tick i,
-    stage 0 computes microbatch i's features while stage 1 consumes microbatch
-    i-1's, with the feature-map handoff as a ``lax.ppermute`` over ICI.  The
-    backward pipeline needs no extra code: the ppermute's AD transpose is the
-    reverse ppermute, so cotangents flow stage 1 -> stage 0 tick by tick and
-    the backbone gradients materialize on the stage-0 devices.  Gradients are
-    psum'd over 'stage' (each stage holds its half) and pmean'd over 'data',
-    then ONE optimizer update applies — the same averaged-microbatch semantics
-    as ``grad_accum`` (bubble fraction 1/(n_micro+1)).
+    split into ``n_stage`` pipeline stages — the backbone's residual segments
+    (stem, res2, res3, res4) grouped onto stages ``0..n_stage-2`` (heaviest
+    segments kept alone: 2 stages split at the backbone/heads boundary,
+    4 stages run stem+res2 | res3 | res4 | heads), and the final stage runs
+    ``train_losses(backbone_feats=...)`` (RPN + ROI heads + losses).  The
+    ``TPU.GRAD_ACCUM`` microbatches are pipelined GPipe-style: a ``lax.scan``
+    over ``n_micro + n_stage - 1`` ticks where, at tick t, stage s processes
+    microbatch ``t - s``, with each inter-stage feature handoff a
+    ``lax.ppermute`` hop over ICI.  Boundary feature maps have heterogeneous
+    shapes (channels double / spatial halves per residual stage), so handoffs
+    ride one flat max-size buffer each stage encodes into / decodes from.
+    The backward pipeline needs no extra code: the ppermute's AD transpose is
+    the reverse ppermute, so cotangents flow stage s -> s-1 tick by tick and
+    each stage's segment gradients materialize on its own devices.  Gradients
+    are psum'd over 'stage' (each stage holds its slice) and pmean'd over
+    'data', then ONE optimizer update applies — the same averaged-microbatch
+    semantics as ``grad_accum`` (bubble fraction (n_stage-1)/(n_micro+n_stage-1)).
 
     With ``remat`` (default), each stage recomputes its microbatch forward
     during backward (the standard GPipe memory discipline: one microbatch's
@@ -214,26 +218,57 @@ def make_pipeline_train_step(
 
     Composes with data parallelism on the first mesh axis.  Requirements:
     both streams (if present) share one canvas per group (the trainer's
-    same-canvas stacking guarantees this), and no meta/support stream.
+    same-canvas stacking guarantees this), no meta/support stream, and a
+    ResNet-C4 backbone when ``n_stage > 2`` (the intra-backbone split points
+    are its residual stages).
     """
-    from ..parallel.mesh import PIPELINE_STAGES, STAGE_AXIS
+    from math import prod
+
+    from ..parallel.mesh import STAGE_AXIS
 
     assert STAGE_AXIS in mesh.axis_names, "pipeline step needs a 'stage' mesh axis"
     n_stage = int(mesh.shape[STAGE_AXIS])
-    assert n_stage == PIPELINE_STAGES, f"2-stage pipeline only, got {n_stage}"
+    NUM_SEGS = 4  # ResNetC4.NUM_SEGMENTS: stem, res2, res3, res4
+    assert 2 <= n_stage <= NUM_SEGS + 1, (
+        f"pipeline stages must be in [2, {NUM_SEGS + 1}], got {n_stage}"
+    )
     n_data = int(mesh.shape[mesh_lib.DATA_AXIS])
     M = int(n_micro)
     assert M >= 2, "pipeline parallelism pipelines TPU.GRAD_ACCUM microbatches; set GRAD_ACCUM >= 2"
 
+    # Backbone segment groups for stages 0..n_stage-2: the LAST groups get one
+    # residual stage each (they are the heaviest — res4 carries most blocks),
+    # the first group absorbs the rest (stem is cheap at C=3).
+    g = n_stage - 1
+    groups = [(0, NUM_SEGS - g + 1)] + [
+        (k, k + 1) for k in range(NUM_SEGS - g + 1, NUM_SEGS)
+    ]
+
     needs_dropout = "VGG" in model.mc.box_head_name
 
-    def stage0(params, strong_mb, weak_mb):
-        return model.apply(
-            {"params": params}, strong=strong_mb, weak=weak_mb,
-            method=WSRCNN.backbone_features,
-        )
+    def make_seg(st, sp):
+        if st == 0 and sp == NUM_SEGS:
+            # 2-stage split at the backbone/heads boundary works for EVERY
+            # backbone family (backbone_features is the whole backbone pass);
+            # intra-backbone splits are ResNet-C4 only (backbone_segment).
+            def seg(params, s_mb, w_mb, feats):
+                return model.apply(
+                    {"params": params}, strong=s_mb, weak=w_mb,
+                    method=WSRCNN.backbone_features,
+                )
+        else:
+            def seg(params, s_mb, w_mb, feats):
+                return model.apply(
+                    {"params": params}, strong=s_mb, weak=w_mb, feats=feats,
+                    start_seg=st, stop_seg=sp,
+                    method=WSRCNN.backbone_segment,
+                )
+        return seg
 
-    def stage1(params, feats, strong_mb, weak_mb, rng):
+    segs = [make_seg(st, sp) for st, sp in groups]
+    seg_fns = [jax.checkpoint(s) if remat else s for s in segs]
+
+    def heads(params, feats, strong_mb, weak_mb, rng):
         losses = model.apply(
             {"params": params}, rng, strong_mb, weak_mb,
             train_only_weak=train_only_weak, backbone_feats=feats,
@@ -245,8 +280,7 @@ def make_pipeline_train_step(
             total = total + v
         return total, losses
 
-    stage0_fn = jax.checkpoint(stage0) if remat else stage0
-    stage1_fn = jax.checkpoint(stage1) if remat else stage1
+    heads_fn = jax.checkpoint(heads) if remat else heads
 
     def pick(tree, i):
         if tree is None:
@@ -263,43 +297,76 @@ def make_pipeline_train_step(
             rng = jax.random.fold_in(rng, jax.lax.axis_index(mesh_lib.DATA_AXIS))
         s_idx = jax.lax.axis_index(STAGE_AXIS)
         mb0 = (pick(strong, 0), pick(weak, 0))
-        feat_sds = jax.eval_shape(stage0, params, mb0[0], mb0[1])
+        # chain the boundary ShapeDtypeStructs through the segment groups
+        bound_sds = []
+        x_sd = None
+        for gi, seg in enumerate(segs):
+            x_sd = jax.eval_shape(
+                seg, params,
+                mb0[0] if gi == 0 else None,
+                mb0[1] if gi == 0 else None,
+                None if gi == 0 else x_sd,
+            )
+            bound_sds.append(x_sd)
         _, loss_sds = jax.eval_shape(
-            stage1, params,
-            jax.ShapeDtypeStruct(feat_sds.shape, feat_sds.dtype),
-            mb0[0], mb0[1], rng,
+            heads, params, bound_sds[-1], mb0[0], mb0[1], rng,
+        )
+        buf_elems = max(int(prod(sd.shape)) for sd in bound_sds)
+        buf_dtype = bound_sds[-1].dtype
+
+        def encode(x):
+            flat = x.reshape(-1).astype(buf_dtype)
+            return jnp.pad(flat, (0, buf_elems - flat.shape[0]))
+
+        def decode(buf, sd):
+            n = int(prod(sd.shape))
+            return jax.lax.slice(buf, (0,), (n,)).reshape(sd.shape).astype(sd.dtype)
+
+        zero_buf = lambda: jnp.zeros((buf_elems,), buf_dtype)  # noqa: E731
+        zero_losses = lambda: jax.tree.map(  # noqa: E731
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), loss_sds
         )
 
         def local_loss(params):
-            def tick(feats_in, i):
-                i0 = jnp.clip(i, 0, M - 1)
-                s_mb0, w_mb0 = pick(strong, i0), pick(weak, i0)
-                f = jax.lax.cond(
-                    (s_idx == 0) & (i < M),
-                    lambda: stage0_fn(params, s_mb0, w_mb0),
-                    lambda: jnp.zeros(feat_sds.shape, feat_sds.dtype),
-                )
-                i1 = jnp.clip(i - 1, 0, M - 1)
-                s_mb1, w_mb1 = pick(strong, i1), pick(weak, i1)
-                total_i, losses_i = jax.lax.cond(
-                    (s_idx == 1) & (i >= 1),
-                    lambda: stage1_fn(
-                        params, feats_in, s_mb1, w_mb1,
-                        jax.random.fold_in(rng, i1),
-                    ),
-                    lambda: (
-                        jnp.zeros((), jnp.float32),
-                        jax.tree.map(
-                            lambda sd: jnp.zeros(sd.shape, sd.dtype), loss_sds
-                        ),
-                    ),
-                )
-                f_next = jax.lax.ppermute(f, STAGE_AXIS, [(0, 1)])
-                return f_next, (total_i, losses_i)
+            def make_branch(stage):
+                if stage < n_stage - 1:
+                    def br(buf_in, s_mb, w_mb, rng_i):
+                        f = seg_fns[stage](
+                            params,
+                            s_mb if stage == 0 else None,
+                            w_mb if stage == 0 else None,
+                            None if stage == 0 else decode(buf_in, bound_sds[stage - 1]),
+                        )
+                        return encode(f), jnp.zeros((), jnp.float32), zero_losses()
+                else:
+                    def br(buf_in, s_mb, w_mb, rng_i):
+                        total_i, losses_i = heads_fn(
+                            params, decode(buf_in, bound_sds[-1]), s_mb, w_mb, rng_i,
+                        )
+                        return zero_buf(), total_i, losses_i
+                return br
 
-            feats_init = jnp.zeros(feat_sds.shape, feat_sds.dtype)
+            branches = [make_branch(s) for s in range(n_stage)]
+
+            def tick(buf_in, t):
+                i = jnp.clip(t - s_idx, 0, M - 1)
+                s_mb, w_mb = pick(strong, i), pick(weak, i)
+                active = (t >= s_idx) & (t - s_idx < M)
+                buf_out, total_i, losses_i = jax.lax.cond(
+                    active,
+                    lambda: jax.lax.switch(
+                        s_idx, branches, buf_in, s_mb, w_mb,
+                        jax.random.fold_in(rng, i),
+                    ),
+                    lambda: (zero_buf(), jnp.zeros((), jnp.float32), zero_losses()),
+                )
+                buf_next = jax.lax.ppermute(
+                    buf_out, STAGE_AXIS, [(s, s + 1) for s in range(n_stage - 1)]
+                )
+                return buf_next, (total_i, losses_i)
+
             _, (totals, losses_seq) = jax.lax.scan(
-                tick, feats_init, jnp.arange(M + 1)
+                tick, zero_buf(), jnp.arange(M + n_stage - 1)
             )
             inv = 1.0 / M
             total = jnp.sum(totals) * inv
@@ -307,8 +374,8 @@ def make_pipeline_train_step(
             return total, losses
 
         (total, losses), grads = jax.value_and_grad(local_loss, has_aux=True)(params)
-        # stage 0 holds the backbone grads (arrived via the ppermute transpose),
-        # stage 1 the head grads; 'data' shards average like DP.
+        # each stage holds its own segment's grads (arrived via the ppermute
+        # transposes); 'data' shards average like DP.
         combine = lambda x: jax.lax.pmean(  # noqa: E731
             jax.lax.psum(x, STAGE_AXIS), mesh_lib.DATA_AXIS
         )

@@ -383,6 +383,49 @@ class WSRCNN(nn.Module):
         src = strong if strong is not None else weak
         return self.features(src["image"])
 
+    def backbone_segment(
+        self,
+        strong: Optional[Dict[str, jnp.ndarray]] = None,
+        weak: Optional[Dict[str, jnp.ndarray]] = None,
+        feats: Optional[jnp.ndarray] = None,
+        start_seg: int = 0,
+        stop_seg: int = 4,
+    ) -> jnp.ndarray:
+        """Run backbone segments ``[start_seg, stop_seg)`` (0=stem, 1=res2,
+        2=res3, 3=res4) — the per-stage compute of an N-stage pipeline
+        schedule.  ``start_seg == 0`` takes the (fused strong+weak) image
+        batch and preprocesses it exactly like ``backbone_features``; later
+        segments take the previous stage's feature map via ``feats``.
+        ResNet-C4 backbones only (the segment boundaries are its residual
+        stages)."""
+        from .resnet import ResNetC4
+
+        if not isinstance(self.backbone, ResNetC4):
+            raise ValueError(
+                "backbone_segment (N-stage pipeline parallelism) requires a "
+                f"ResNet-C4 backbone, got {type(self.backbone).__name__}"
+            )
+        if start_seg == 0:
+            if strong is not None and weak is not None:
+                if strong["image"].shape[1:] != weak["image"].shape[1:]:
+                    raise ValueError(
+                        "backbone_segment requires a shared strong/weak canvas, "
+                        f"got {strong['image'].shape} vs {weak['image'].shape}"
+                    )
+                x = jnp.concatenate([strong["image"], weak["image"]], axis=0)
+            else:
+                src = strong if strong is not None else weak
+                x = src["image"]
+            x = self.preprocess(x)
+        else:
+            assert feats is not None, "segments past the stem need `feats`"
+            x = feats
+        bb = self.backbone
+        fn = lambda z: bb(z, start_seg=start_seg, stop_seg=stop_seg)  # noqa: E731
+        if self.mc.remat_backbone:
+            fn = jax.checkpoint(fn)
+        return fn(x)
+
     def train_losses(
         self,
         rng: jax.Array,

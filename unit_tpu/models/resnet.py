@@ -124,7 +124,17 @@ class ResNetStage(nn.Module):
 
 
 class ResNetC4(nn.Module):
-    """Stem + res2..res4; output stride 16, 1024 channels (for depth>=50)."""
+    """Stem + res2..res4; output stride 16, 1024 channels (for depth>=50).
+
+    ``start_seg``/``stop_seg`` select a contiguous run of the 4 segments
+    (0=stem, 1=res2, 2=res3, 3=res4) so an N-stage pipeline-parallel schedule
+    can place segment groups on different 'stage' mesh devices
+    (engine/train.py::make_pipeline_train_step).  Both must be static Python
+    ints; params are created for the full range at init (defaults), and an
+    apply over a sub-range simply reads the subset it needs.
+    """
+
+    NUM_SEGMENTS = 4  # stem, res2, res3, res4
 
     depth: int = 50
     stride_in_1x1: bool = True
@@ -133,27 +143,31 @@ class ResNetC4(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, start_seg: int = 0, stop_seg: int = 4):
+        assert 0 <= start_seg < stop_seg <= self.NUM_SEGMENTS
         x = x.astype(self.dtype)
-        x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="stem_conv1")(x)
-        x = FrozenBN(self.stem_channels, dtype=self.dtype, name="stem_conv1_bn")(x)
-        x = relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if start_seg == 0:
+            x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)),
+                        use_bias=False, dtype=self.dtype, name="stem_conv1")(x)
+            x = FrozenBN(self.stem_channels, dtype=self.dtype, name="stem_conv1_bn")(x)
+            x = relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         blocks = BLOCKS_PER_STAGE[self.depth]
         out_ch = self.res2_out_channels
         bottleneck = out_ch // 4
         for stage_idx in range(3):  # res2, res3, res4
-            x = ResNetStage(
-                num_blocks=blocks[stage_idx],
-                out_channels=out_ch,
-                bottleneck_channels=bottleneck,
-                first_stride=1 if stage_idx == 0 else 2,
-                stride_in_1x1=self.stride_in_1x1,
-                dtype=self.dtype,
-                name=f"res{stage_idx + 2}",
-            )(x)
+            if start_seg <= stage_idx + 1 < stop_seg:
+                x = ResNetStage(
+                    num_blocks=blocks[stage_idx],
+                    out_channels=out_ch,
+                    bottleneck_channels=bottleneck,
+                    first_stride=1 if stage_idx == 0 else 2,
+                    stride_in_1x1=self.stride_in_1x1,
+                    dtype=self.dtype,
+                    name=f"res{stage_idx + 2}",
+                )(x)
             out_ch *= 2
             bottleneck *= 2
         return x  # res4: [N, H/16, W/16, 1024]
