@@ -132,9 +132,71 @@ def test_pipeline_4stage_matches_grad_accum():
 
 def test_pipeline_stage_count_validation():
     model, opt = tiny_model()
-    mesh = make_mesh_pp(1, 6)
+    mesh = make_mesh_pp(1, 6)  # tiny depth-26 backbone: 4 units -> max 5 stages
     with pytest.raises(AssertionError, match="stages"):
         make_pipeline_train_step(model, opt, mesh, n_micro=2)
+
+
+def test_balanced_unit_groups():
+    """The minimax partition is exact and balanced for the real depths."""
+    from unit_tpu.engine.train import _balanced_unit_groups
+
+    # R-101: stem + 3 + 4 + 23 blocks = 31 units; stage-granular grouping
+    # would be 3.5 | 4 | 23 — block granularity must get within 1 block of
+    # the ideal 30.5/3.
+    costs = [0.5] + [1.0] * 30
+    groups = _balanced_unit_groups(costs, 3)
+    assert [st for st, _ in groups] == sorted({st for st, _ in groups})
+    assert groups[0][0] == 0 and groups[-1][1] == 31
+    sums = [sum(costs[a:b]) for a, b in groups]
+    assert max(sums) <= 30.5 / 3 + 1.0, sums
+    # R-50 at 3 groups: 13.5 total, ideal 4.5 per group.
+    costs50 = [0.5] + [1.0] * 13
+    sums50 = [sum(costs50[a:b]) for a, b in _balanced_unit_groups(costs50, 3)]
+    assert max(sums50) <= 5.0, sums50
+    # degenerate cases
+    assert _balanced_unit_groups([0.5], 1) == [(0, 1)]
+    assert _balanced_unit_groups([0.5, 1.0, 1.0], 3) == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_backbone_unit_chain_matches_full_forward():
+    """Chaining block-granular backbone segments == the full backbone pass.
+
+    Pure-CPU check of the per-stage compute the pipeline schedule places on
+    devices: any contiguous unit split must compose to the monolithic
+    forward (same params, same output)."""
+    from unit_tpu.models.resnet import num_units
+
+    model, _ = tiny_model()
+    rng = np.random.RandomState(0)
+    b = 1
+    strong = {
+        "image": jnp.asarray(rng.rand(b, 64, 64, 3), jnp.float32),
+        "image_size": jnp.asarray([[64, 64]] * b, jnp.float32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.asarray([[64.0, 64.0]]),
+    )["params"]
+
+    full = model.apply(
+        {"params": params}, strong=strong, weak=None,
+        method=WSRCNN.backbone_features,
+    )
+    n = num_units(model.mc.depth)
+    for bounds in [(0, 2, n), (0, 1, 3, n)]:
+        x = None
+        for st, sp in zip(bounds[:-1], bounds[1:]):
+            x = model.apply(
+                {"params": params},
+                strong=strong if st == 0 else None,
+                feats=x, start_unit=st, stop_unit=sp,
+                method=WSRCNN.backbone_segment,
+            )
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(full), rtol=1e-5, atol=1e-5,
+            err_msg=str(bounds),
+        )
 
 
 @pytest.mark.slow

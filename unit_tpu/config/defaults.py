@@ -306,7 +306,8 @@ def get_cfg() -> CN:
     #                                      HBM; effective batch = IMS_PER_BATCH
     #                                      * GRAD_ACCUM
     _C.TPU.PP = False                    # pipeline parallelism: N-stage GPipe
-    _C.TPU.PP_STAGES = 2                 # pipeline depth (2..5; >2 = ResNet-C4 intra-backbone split)
+    _C.TPU.PP_STAGES = 2                 # pipeline depth (>2 = ResNet-C4 block-granular
+    #                                      split, balanced; max = backbone blocks + 2)
     #                                      over a (data x stage) mesh — stage 0
     #                                      runs the backbone, stage 1 the heads,
     #                                      pipelining the GRAD_ACCUM microbatches

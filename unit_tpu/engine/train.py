@@ -183,6 +183,38 @@ def make_train_step(
     )
 
 
+def _balanced_unit_groups(costs, g):
+    """Minimax contiguous partition of ``costs`` into ``g`` non-empty groups.
+
+    Classic linear-partition DP (n <= ~40, g <= ~8 here, so O(g n^2) is
+    negligible and, unlike the greedy prefix cut, exact).  Returns
+    ``[(start, stop), ...]`` half-open index ranges.
+    """
+    n = len(costs)
+    assert 1 <= g <= n
+    prefix = [0.0]
+    for c in costs:
+        prefix.append(prefix[-1] + c)
+    inf = float("inf")
+    best = [[inf] * (n + 1) for _ in range(g + 1)]
+    cut = [[0] * (n + 1) for _ in range(g + 1)]
+    best[0][0] = 0.0
+    for k in range(1, g + 1):
+        for i in range(k, n + 1):
+            for j in range(k - 1, i):
+                v = max(best[k - 1][j], prefix[i] - prefix[j])
+                if v < best[k][i]:
+                    best[k][i] = v
+                    cut[k][i] = j
+    bounds = [n]
+    k = g
+    while k > 0:
+        bounds.append(cut[k][bounds[-1]])
+        k -= 1
+    bounds.reverse()
+    return [(bounds[t], bounds[t + 1]) for t in range(g)]
+
+
 def make_pipeline_train_step(
     model: WSRCNN,
     optimizer: optax.GradientTransformation,
@@ -194,12 +226,16 @@ def make_pipeline_train_step(
     """N-stage GPipe pipeline parallelism over a ('data', 'stage') mesh.
 
     Beyond-reference scaling (the reference is DP-only): the train step is
-    split into ``n_stage`` pipeline stages — the backbone's residual segments
-    (stem, res2, res3, res4) grouped onto stages ``0..n_stage-2`` (heaviest
-    segments kept alone: 2 stages split at the backbone/heads boundary,
-    4 stages run stem+res2 | res3 | res4 | heads), and the final stage runs
-    ``train_losses(backbone_feats=...)`` (RPN + ROI heads + losses).  The
-    ``TPU.GRAD_ACCUM`` microbatches are pipelined GPipe-style: a ``lax.scan``
+    split into ``n_stage`` pipeline stages — the backbone's splittable units
+    (unit 0 = stem, units 1.. = each bottleneck block of res2..res4;
+    ``models.resnet.num_units``) balanced onto stages ``0..n_stage-2`` by a
+    minimax contiguous partition, and the final stage runs
+    ``train_losses(backbone_feats=...)`` (RPN + ROI heads + losses).  Interior
+    bottleneck blocks cost identical FLOPs in every residual stage (spatial
+    shrinks 4x exactly as per-pixel channel FLOPs grow 4x), so unit count is
+    the cost model (stem = 0.5) and the split stays balanced even for R-101,
+    where res4 alone holds 23 of the 30 blocks.  The ``TPU.GRAD_ACCUM``
+    microbatches are pipelined GPipe-style: a ``lax.scan``
     over ``n_micro + n_stage - 1`` ticks where, at tick t, stage s processes
     microbatch ``t - s``, with each inter-stage feature handoff a
     ``lax.ppermute`` hop over ICI.  Boundary feature maps have heterogeneous
@@ -220,7 +256,8 @@ def make_pipeline_train_step(
     both streams (if present) share one canvas per group (the trainer's
     same-canvas stacking guarantees this), no meta/support stream, and a
     ResNet-C4 backbone when ``n_stage > 2`` (the intra-backbone split points
-    are its residual stages).
+    are its bottleneck blocks; other backbone families support the 2-stage
+    backbone/heads boundary split only).
     """
     from math import prod
 
@@ -228,26 +265,32 @@ def make_pipeline_train_step(
 
     assert STAGE_AXIS in mesh.axis_names, "pipeline step needs a 'stage' mesh axis"
     n_stage = int(mesh.shape[STAGE_AXIS])
-    NUM_SEGS = 4  # ResNetC4.NUM_SEGMENTS: stem, res2, res3, res4
-    assert 2 <= n_stage <= NUM_SEGS + 1, (
-        f"pipeline stages must be in [2, {NUM_SEGS + 1}], got {n_stage}"
+    is_resnet = model.mc.backbone_name == "build_resnet_backbone"
+    if is_resnet:
+        from ..models.resnet import num_units
+
+        n_units = num_units(model.mc.depth)
+    else:
+        n_units = 1  # opaque backbone: only the backbone/heads boundary split
+    assert 2 <= n_stage <= n_units + 1, (
+        f"pipeline stages must be in [2, {n_units + 1}] for this backbone, "
+        f"got {n_stage}"
     )
     n_data = int(mesh.shape[mesh_lib.DATA_AXIS])
     M = int(n_micro)
     assert M >= 2, "pipeline parallelism pipelines TPU.GRAD_ACCUM microbatches; set GRAD_ACCUM >= 2"
 
-    # Backbone segment groups for stages 0..n_stage-2: the LAST groups get one
-    # residual stage each (they are the heaviest — res4 carries most blocks),
-    # the first group absorbs the rest (stem is cheap at C=3).
+    # Backbone unit groups for stages 0..n_stage-2: minimax-balanced
+    # contiguous partition (every interior block costs ~1 unit, the stem ~0.5
+    # — it is a cheap C=3 conv but a large-spatial activation).
     g = n_stage - 1
-    groups = [(0, NUM_SEGS - g + 1)] + [
-        (k, k + 1) for k in range(NUM_SEGS - g + 1, NUM_SEGS)
-    ]
+    costs = [0.5] + [1.0] * (n_units - 1)
+    groups = _balanced_unit_groups(costs, g)
 
     needs_dropout = "VGG" in model.mc.box_head_name
 
     def make_seg(st, sp):
-        if st == 0 and sp == NUM_SEGS:
+        if st == 0 and sp == n_units:
             # 2-stage split at the backbone/heads boundary works for EVERY
             # backbone family (backbone_features is the whole backbone pass);
             # intra-backbone splits are ResNet-C4 only (backbone_segment).
@@ -260,7 +303,7 @@ def make_pipeline_train_step(
             def seg(params, s_mb, w_mb, feats):
                 return model.apply(
                     {"params": params}, strong=s_mb, weak=w_mb, feats=feats,
-                    start_seg=st, stop_seg=sp,
+                    start_unit=st, stop_unit=sp,
                     method=WSRCNN.backbone_segment,
                 )
         return seg

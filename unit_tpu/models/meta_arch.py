@@ -388,16 +388,16 @@ class WSRCNN(nn.Module):
         strong: Optional[Dict[str, jnp.ndarray]] = None,
         weak: Optional[Dict[str, jnp.ndarray]] = None,
         feats: Optional[jnp.ndarray] = None,
-        start_seg: int = 0,
-        stop_seg: int = 4,
+        start_unit: int = 0,
+        stop_unit: Optional[int] = None,
     ) -> jnp.ndarray:
-        """Run backbone segments ``[start_seg, stop_seg)`` (0=stem, 1=res2,
-        2=res3, 3=res4) — the per-stage compute of an N-stage pipeline
-        schedule.  ``start_seg == 0`` takes the (fused strong+weak) image
-        batch and preprocesses it exactly like ``backbone_features``; later
-        segments take the previous stage's feature map via ``feats``.
-        ResNet-C4 backbones only (the segment boundaries are its residual
-        stages)."""
+        """Run backbone units ``[start_unit, stop_unit)`` (0 = stem, 1.. = the
+        bottleneck blocks of res2..res4 in order; ``resnet.num_units``) — the
+        per-stage compute of an N-stage pipeline schedule.  ``start_unit == 0``
+        takes the (fused strong+weak) image batch and preprocesses it exactly
+        like ``backbone_features``; later units take the previous stage's
+        feature map via ``feats``.  ResNet-C4 backbones only (the unit
+        boundaries are its bottleneck blocks)."""
         from .resnet import ResNetC4
 
         if not isinstance(self.backbone, ResNetC4):
@@ -405,7 +405,7 @@ class WSRCNN(nn.Module):
                 "backbone_segment (N-stage pipeline parallelism) requires a "
                 f"ResNet-C4 backbone, got {type(self.backbone).__name__}"
             )
-        if start_seg == 0:
+        if start_unit == 0:
             if strong is not None and weak is not None:
                 if strong["image"].shape[1:] != weak["image"].shape[1:]:
                     raise ValueError(
@@ -421,7 +421,7 @@ class WSRCNN(nn.Module):
             assert feats is not None, "segments past the stem need `feats`"
             x = feats
         bb = self.backbone
-        fn = lambda z: bb(z, start_seg=start_seg, stop_seg=stop_seg)  # noqa: E731
+        fn = lambda z: bb(z, start_unit=start_unit, stop_unit=stop_unit)  # noqa: E731
         if self.mc.remat_backbone:
             fn = jax.checkpoint(fn)
         return fn(x)

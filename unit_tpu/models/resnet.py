@@ -13,7 +13,7 @@ Compute runs in ``dtype`` (bfloat16 by default on TPU) with fp32 parameters.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -108,8 +108,10 @@ class ResNetStage(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        for i in range(self.num_blocks):
+    def __call__(self, x, start_block: int = 0, stop_block: Optional[int] = None):
+        stop = self.num_blocks if stop_block is None else stop_block
+        assert 0 <= start_block < stop <= self.num_blocks
+        for i in range(start_block, stop):
             x = BottleneckBlock(
                 out_channels=self.out_channels,
                 bottleneck_channels=self.bottleneck_channels,
@@ -123,18 +125,31 @@ class ResNetStage(nn.Module):
         return x
 
 
+def num_units(depth: int) -> int:
+    """Number of pipeline-splittable units in a ResNet-C4 backbone.
+
+    Unit 0 is the stem (7x7 conv + maxpool); units 1.. are the individual
+    bottleneck blocks of res2..res4 in order.  Every interior bottleneck
+    block costs the same FLOPs regardless of stage (spatial shrinks 4x
+    exactly as channel FLOPs grow 4x), so block-granular splits give an
+    N-stage pipeline near-equal per-stage compute even for R-101, where
+    res4 alone holds 23 of the 30 blocks.
+    """
+    blocks = BLOCKS_PER_STAGE[depth]
+    return 1 + blocks[0] + blocks[1] + blocks[2]
+
+
 class ResNetC4(nn.Module):
     """Stem + res2..res4; output stride 16, 1024 channels (for depth>=50).
 
-    ``start_seg``/``stop_seg`` select a contiguous run of the 4 segments
-    (0=stem, 1=res2, 2=res3, 3=res4) so an N-stage pipeline-parallel schedule
-    can place segment groups on different 'stage' mesh devices
+    ``start_unit``/``stop_unit`` select a contiguous run of units (0 = stem,
+    1.. = each bottleneck block of res2..res4 in order; see ``num_units``)
+    so an N-stage pipeline-parallel schedule can place balanced unit groups
+    on different 'stage' mesh devices
     (engine/train.py::make_pipeline_train_step).  Both must be static Python
     ints; params are created for the full range at init (defaults), and an
     apply over a sub-range simply reads the subset it needs.
     """
-
-    NUM_SEGMENTS = 4  # stem, res2, res3, res4
 
     depth: int = 50
     stride_in_1x1: bool = True
@@ -143,10 +158,13 @@ class ResNetC4(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, start_seg: int = 0, stop_seg: int = 4):
-        assert 0 <= start_seg < stop_seg <= self.NUM_SEGMENTS
+    def __call__(self, x, start_unit: int = 0, stop_unit: Optional[int] = None):
+        blocks = BLOCKS_PER_STAGE[self.depth]
+        n_units = num_units(self.depth)
+        stop = n_units if stop_unit is None else stop_unit
+        assert 0 <= start_unit < stop <= n_units
         x = x.astype(self.dtype)
-        if start_seg == 0:
+        if start_unit == 0:
             x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2),
                         padding=((3, 3), (3, 3)),
                         use_bias=False, dtype=self.dtype, name="stem_conv1")(x)
@@ -154,20 +172,24 @@ class ResNetC4(nn.Module):
             x = relu(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
-        blocks = BLOCKS_PER_STAGE[self.depth]
         out_ch = self.res2_out_channels
         bottleneck = out_ch // 4
+        unit = 1  # first block of res2
         for stage_idx in range(3):  # res2, res3, res4
-            if start_seg <= stage_idx + 1 < stop_seg:
+            nb = blocks[stage_idx]
+            lo = max(start_unit - unit, 0)
+            hi = min(stop - unit, nb)
+            if hi > lo:
                 x = ResNetStage(
-                    num_blocks=blocks[stage_idx],
+                    num_blocks=nb,
                     out_channels=out_ch,
                     bottleneck_channels=bottleneck,
                     first_stride=1 if stage_idx == 0 else 2,
                     stride_in_1x1=self.stride_in_1x1,
                     dtype=self.dtype,
                     name=f"res{stage_idx + 2}",
-                )(x)
+                )(x, start_block=lo, stop_block=hi)
+            unit += nb
             out_ch *= 2
             bottleneck *= 2
         return x  # res4: [N, H/16, W/16, 1024]
