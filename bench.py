@@ -116,11 +116,12 @@ def _measure(depth: int, global_batch: int = 8):
 
     n_iter = 10
 
-    def timed(key0, tbatches, tb):
+    def timed(key0, tbatches, tb, step_fn=None):
         nonlocal state
+        step_fn = step_fn or step
         t0 = time.perf_counter()
         for i in range(n_iter):
-            state, metrics = step(
+            state, metrics = step_fn(
                 state, *tbatches[i % len(tbatches)], None, jax.random.PRNGKey(key0 + i)
             )
         # a real host fetch is the only reliable barrier on remote-attached
@@ -141,15 +142,34 @@ def _measure(depth: int, global_batch: int = 8):
 
     # Full-recipe batch on one chip, same warmed params (the step re-traces for
     # the new shapes; the lr schedule is already past steady so the trained RPN
-    # regime is preserved).
+    # regime is preserved).  Per-depth regime choice from the batch-scaling
+    # sweep (BASELINE.md): R-50 runs the flat 8+8 step (monotone gains);
+    # R-101 peaks at b=4, so its full-recipe step is GRAD_ACCUM 2 microbatches
+    # of 4+4 — the same effective batch at the per-microbatch working-set
+    # sweet spot (26.52 vs 26.05 img/s flat, measured round 4).
     batch_full = None
     if global_batch and global_batch != b:
         try:
-            batches_g = _make_batches(mc, n_batches=2, b=global_batch)
-            state, metrics = step(state, *batches_g[0], None, jax.random.PRNGKey(2))
+            accum, b_micro = (2, 4) if depth == 101 else (1, global_batch)
+            batches_g = _make_batches(mc, n_batches=2, b=b_micro)
+            step_g = step
+            if accum > 1:
+                step_g = make_train_step(model, opt, grad_accum=accum)
+                n = len(batches_g)
+                batches_g = [
+                    tuple(
+                        jax.tree.map(
+                            lambda *xs: jnp.stack(xs),
+                            *(batches_g[(i + j) % n][s] for j in range(accum)),
+                        )
+                        for s in range(2)
+                    )
+                    for i in range(n)
+                ]
+            state, metrics = step_g(state, *batches_g[0], None, jax.random.PRNGKey(2))
             tl = float(np.asarray(metrics["total_loss"]))
             assert tl == tl, "global-batch step produced NaN"
-            batch_full = timed(9500, batches_g, global_batch)
+            batch_full = timed(9500, batches_g, b_micro * accum, step_fn=step_g)
         except Exception as e:  # HBM OOM etc: the headline series must survive
             print(f"# global-batch-{global_batch} series failed: {e!r}", flush=True)
             batch_full = None

@@ -28,10 +28,12 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
+import jax.numpy as jnp
 import numpy as np
 
 
-def measure(depth: int, b: int, warmup: int, n_iter: int = 10) -> float:
+def measure(depth: int, b: int, warmup: int, n_iter: int = 10,
+            grad_accum: int = 1) -> float:
     import dataclasses
 
     from __graft_entry__ import _bench_optimizer, _model_config
@@ -46,7 +48,23 @@ def measure(depth: int, b: int, warmup: int, n_iter: int = 10) -> float:
     opt = _bench_optimizer(1e-6, momentum=0.9, steady_after=warmup)
     state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 256, 256, 3))
     batches = _make_batches(mc, b=b)
-    step = make_train_step(model, opt)
+    if grad_accum > 1:
+        # A microbatches of b+b per optimizer step (leading scan axis): the
+        # same effective batch as a flat b*A+b*A step but with one
+        # microbatch's activations live at a time — probes whether running
+        # at the per-microbatch working-set sweet spot beats the flat step
+        n = len(batches)
+        batches = [
+            tuple(
+                jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *(batches[(i + j) % n][s] for j in range(grad_accum)),
+                )
+                for s in range(2)
+            )
+            for i in range(n)
+        ]
+    step = make_train_step(model, opt, grad_accum=grad_accum)
 
     metrics = None
     for i in range(warmup):
@@ -62,7 +80,7 @@ def measure(depth: int, b: int, warmup: int, n_iter: int = 10) -> float:
             state, *batches[i % len(batches)], None, jax.random.PRNGKey(9000 + i)
         )
     float(np.asarray(metrics["total_loss"]))  # host fetch = hard sync
-    return 2 * b * n_iter / (time.perf_counter() - t0)
+    return 2 * b * grad_accum * n_iter / (time.perf_counter() - t0)
 
 
 def main():
@@ -70,15 +88,18 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[2, 4])
     ap.add_argument("--depth", type=int, default=101)
     ap.add_argument("--warmup", type=int, default=150)
+    ap.add_argument("--grad-accum", type=int, default=1)
     args = ap.parse_args()
     for b in args.batches:
         try:
-            v = measure(args.depth, b, args.warmup)
+            v = measure(args.depth, b, args.warmup, grad_accum=args.grad_accum)
         except Exception as e:  # OOM etc: report and continue
             print(f"b={b}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
             continue
+        ga = f" x GRAD_ACCUM {args.grad_accum}" if args.grad_accum > 1 else ""
         print(
-            f"b={b} ({2 * b} imgs/step, R-{args.depth}-C4): {v:.2f} img/s/chip",
+            f"b={b}{ga} ({2 * b * args.grad_accum} imgs/step, "
+            f"R-{args.depth}-C4): {v:.2f} img/s/chip",
             flush=True,
         )
 

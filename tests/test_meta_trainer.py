@@ -93,6 +93,14 @@ def test_meta_trainer_steps_and_eval(synthetic_voc, monkeypatch):
     det = predict(trainer.state.params, batch["image"], batch["image_size"])
     assert np.asarray(det.boxes).ndim == 3
 
+    # full eval through make_eval_fn: the meta path precomputes the support
+    # prototypes once (Trainer.get_meta_attention, defaults.py:180-194) and
+    # routes through inference_on_dataset_meta
+    cfg.DATASETS.BASE_META_SHOTS = 2  # deterministic support pass stays tiny
+    eval_fn = runner.make_eval_fn(cfg, model, image_loader=_fake_image_loader)
+    res = eval_fn(trainer.state)
+    assert "bbox" in res and np.isfinite(res["bbox"]["AP50"])
+
 
 @pytest.mark.slow
 def test_meta_rank_loss_when_sampler_slots_below_roi_batch_size(

@@ -333,6 +333,37 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
         if use_test_proposals
         else make_predict_fn(model)
     )
+    # meta configs compute the support prototypes ONCE pre-eval and thread them
+    # through the meta eval driver (Trainer.get_meta_attention + test(),
+    # reference engine/defaults.py:180-248).  Downstream they are semantically
+    # dead — the reference's attention-driven visual-similarity branch at
+    # inference is commented out (roi_heads.py:386-389) — pinned by
+    # tests/test_meta_eval_driver.py.
+    is_meta = model is not None and getattr(
+        getattr(model, "mc", None), "use_meta", False
+    )
+
+    def _meta_attention(params):
+        from ..data.loader import build_support_loader
+        from ..models import WSRCNN as _WSRCNN
+
+        support_name = {
+            "VOC": "voc_base_training_support",
+            "COCO": "coco_base_training_support",
+        }.get(cfg.DATASETS.FEWSHOT.TYPE, "voc_base_training_support")
+        if support_name not in DatasetCatalog:
+            logger.warning(
+                "meta eval: support dataset %s not registered; skipping "
+                "attention precompute", support_name,
+            )
+            return None
+        loader = build_support_loader(
+            cfg, support_name, deterministic=True, image_loader=image_loader
+        )
+        batch = next(iter(loader))
+        return model.apply(
+            {"params": params}, batch, method=_WSRCNN.compute_meta_attention
+        )
     if use_tta:
         # flip flags must be compile-time constants; scales/images are traced
         flips = []
@@ -418,9 +449,19 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
                     fn = lambda im, sz, pb, pv: predict(params, im, sz, pb, pv)  # noqa: E731
                 else:
                     fn = lambda im, sz: predict(params, im, sz)  # noqa: E731
-                all_results[name] = inference_on_dataset(
-                    fn, loader, evaluator, n
-                )
+                att = _meta_attention(params) if is_meta else None
+                if att is not None:
+                    from ..evaluation import inference_on_dataset_meta
+
+                    all_results[name] = inference_on_dataset_meta(
+                        # attention is threaded but dead at inference,
+                        # exactly as in the reference (see _meta_attention)
+                        lambda _att, *a: fn(*a), loader, att, evaluator, n,
+                    )
+                else:
+                    all_results[name] = inference_on_dataset(
+                        fn, loader, evaluator, n
+                    )
         if len(all_results) == 1:
             return next(iter(all_results.values()))
         return all_results

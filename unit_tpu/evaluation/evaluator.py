@@ -107,3 +107,36 @@ def inference_on_dataset(
     if t_start is not None and num_done > timed_base:
         results["inference_seconds_per_image"] = total_time / (num_done - timed_base)
     return results
+
+
+def inference_on_dataset_meta(
+    predict_fn: Callable,          # (att_vecs_support, images, image_sizes, ...) -> Detections
+    loader: Iterator,
+    att_vecs_support,              # precomputed support prototypes (compute_meta_attention)
+    evaluator,
+    total_images: Optional[int] = None,
+    warmup: int = 1,
+) -> dict:
+    """Meta-model eval driver (reference ``data/utils.py:98-172``).
+
+    The reference precomputes the support attention vectors once
+    (``model(support_data, return_attention=True)``, engine/defaults.py) and
+    passes them to every inference call as ``model(inputs, att_vecs_support)``.
+    PARITY QUIRK: inside the reference's meta ROI heads the attention-driven
+    visual-similarity branch is commented out at inference
+    (``roi_heads.py:386-389``); the live code derives visual similarity from
+    the weak detector's own evaluation posteriors, so ``att_vecs_support`` is
+    threaded but semantically dead — results are invariant to it.  We keep the
+    driver surface (attention bound as the model call's extra argument) and pin
+    the invariance in ``tests/test_meta_eval_driver.py``.
+
+    Unlike the reference's sequential loop with a separate "pure compute time"
+    (cuda-synchronized per call), this delegates to :func:`inference_on_dataset`
+    and keeps its one-batch-in-flight pipelining; the single reported
+    ``inference_seconds_per_image`` corresponds to the reference's total-time
+    figure.
+    """
+    def bound(images, image_sizes, *rest):
+        return predict_fn(att_vecs_support, images, image_sizes, *rest)
+
+    return inference_on_dataset(bound, loader, evaluator, total_images, warmup)
