@@ -36,11 +36,12 @@ import jax
 
 # persistent compilation cache: full-step compiles take minutes through the
 # remote-compile tunnel; cache hits make repeat benchmark runs start in seconds
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from unit_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np

@@ -76,6 +76,54 @@ def main():
     for c, ms in by_cat.most_common():
         print(f"{ms:9.2f} ms  {c}")
 
+    # subsystem rollup via the tf_op JAX scope paths (trace x HLO join): maps
+    # every device op to the model subsystem that emitted it, split fwd vs
+    # bwd (transpose), with model FLOPs summed for achieved-TF/s.
+    def subsystem(tf_op):
+        t = tf_op
+        if "roi_align_backward" in t:
+            return "roi_align bwd (pallas+pad)"
+        if "pooled_rois" in t:
+            return "roi_align fwd (pallas+reshape)"
+        if "nms" in t:
+            return "NMS"
+        bwd = "transpose(" in t
+        if ".features/" in t:
+            return "backbone " + ("bwd" if bwd else "fwd")
+        if ".box_features/" in t:
+            return "res5 heads " + ("bwd" if bwd else "fwd")
+        if ".rpn/" in t or "/rpn_head/" in t:
+            return "rpn head " + ("bwd" if bwd else "fwd")
+        if any(k in t for k in (".supervised", "weak_detector", "losses", "softmax",
+                                 "cross_entropy")):
+            return "predictors/losses"
+        return "other (sampling/sort/update/misc)"
+
+    by_sub = collections.Counter()
+    flops_sub = collections.Counter()
+    n_steps = collections.Counter()
+    for e in events:
+        if e.get("ph") != "X" or e["pid"] not in tpu_pids:
+            continue
+        a = e.get("args") or {}
+        t = a.get("tf_op")
+        if not t:
+            continue
+        s = subsystem(t)
+        by_sub[s] += e.get("dur", 0) / 1e3
+        try:
+            flops_sub[s] += int(a.get("model_flops", 0))
+        except (TypeError, ValueError):
+            pass
+    steps = count.get("jit_step_fn", 0) or max(
+        (c for n, c in count.items() if n.startswith("jit_")), default=1
+    )
+    print(f"\nby subsystem (tf_op join), per step (/{steps}):")
+    for s, ms in by_sub.most_common():
+        per = ms / max(steps, 1)
+        tf = flops_sub[s] / (ms / 1e3) / 1e12 if ms else 0.0
+        print(f"{per:9.2f} ms  {tf:6.1f} TF/s  {s}")
+
 
 if __name__ == "__main__":
     main()

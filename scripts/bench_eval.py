@@ -29,15 +29,26 @@ def main():
         "--fold-bn", action="store_true",
         help="fold FrozenBN into conv kernels before timing (TPU.FOLD_BN_AT_EVAL)",
     )
+    ap.add_argument(
+        "--wide-canvas", action="store_true",
+        help="pad every TTA variant to TEST.AUG.MAX_SIZE on the long side "
+             "(the pre-round-5 behavior) instead of the tight per-scale canvas",
+    )
+    ap.add_argument(
+        "--tta-topk", type=int, default=0,
+        help="re-score only the top-K canonical proposals per variant "
+             "(0 = all, the reference protocol)",
+    )
+    ap.add_argument("--depth", type=int, default=50, choices=(50, 101))
+    ap.add_argument("--trace", default="",
+                    help="capture a device trace of the timed loop to this dir")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    from unit_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -45,7 +56,12 @@ def main():
     from unit_tpu.engine import make_predict_fn
     from unit_tpu.models import WSRCNN
 
-    model = WSRCNN(mc=_model_config(tiny=False))
+    import dataclasses
+
+    mc = _model_config(tiny=False)
+    if args.depth != mc.depth:
+        mc = dataclasses.replace(mc, depth=args.depth)
+    model = WSRCNN(mc=mc)
     h, w = 800, 1344
     rng = np.random.RandomState(0)
     variables = jax.jit(
@@ -85,13 +101,17 @@ def main():
         # from the canonical frame, re-scored at TEST.AUG.MIN_SIZES x flip
         # (10 variants with the defaults).  Ours batches each scale's
         # flip pair through one backbone pass (predict_tta grouping).
-        from unit_tpu.data.transforms import _canvas_for
+        from unit_tpu.data.transforms import _canvas_for, tta_canvas_for
 
         min_sizes = (480, 576, 688, 864, 1200)
         max_size, div = 2000, 32
+        aspect = 1333.0 / 800.0  # the synthetic canonical frame's aspect
         spec = []
         for ms in min_sizes:
-            ch, cw = _canvas_for(ms, max_size, div)
+            if args.wide_canvas:
+                ch, cw = _canvas_for(ms, max_size, div)
+            else:
+                ch, cw = tta_canvas_for(ms, max_size, div, aspect)
             scale = ms / 800.0
             th, tw = ms, min(int(round(1333 * scale)), max_size)
             for flip in (False, True):
@@ -113,7 +133,8 @@ def main():
                 for (im, sz, sc), fl in zip(var_arrays, flips)
             ]
             return model.apply(
-                {"params": params}, cimg, csz, variants, method=WSRCNN.predict_tta
+                {"params": params}, cimg, csz, variants,
+                tta_topk=args.tta_topk, method=WSRCNN.predict_tta,
             )
 
         cimg = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32) * 255
@@ -121,13 +142,20 @@ def main():
         det = tta_fn(variables["params"], cimg, csz, var_arrays)
         float(np.asarray(det.scores).sum())
         iters = max(1, args.iters // 2)
+        if args.trace:
+            jax.profiler.start_trace(args.trace)
         t0 = time.perf_counter()
         for _ in range(iters):
             det = tta_fn(variables["params"], cimg, csz, var_arrays)
         float(np.asarray(det.scores).sum())
         per_img = (time.perf_counter() - t0) / iters
+        if args.trace:
+            jax.profiler.stop_trace()
+            print(f"TTA trace written to {args.trace}")
+        canvas_kind = "wide" if args.wide_canvas else "tight"
         print(
-            f"TTA ({len(spec)} variants, grouped flip pairs): "
+            f"TTA ({len(spec)} variants, grouped flip pairs, {canvas_kind} "
+            f"canvases, topk={args.tta_topk or 'all'}): "
             f"{per_img:.3f} s/img ({1.0 / per_img:.2f} img/s)"
         )
 

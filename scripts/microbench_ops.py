@@ -122,8 +122,11 @@ def bench_nms():
     boxes = jnp.asarray(boxes)
 
     f_xla = jax.jit(lambda b: jnp.sum(nms_sorted_mask(b, 0.7)))
+    f_cap = jax.jit(lambda b: jnp.sum(nms_sorted_mask(b, 0.7, max_keep=2000)))
     f_pal = jax.jit(lambda b: jnp.sum(nms_sorted_mask_pallas(b, 0.7)))
     print(f"nms xla tiled   ({n} boxes): {_time(f_xla, boxes):8.2f} ms")
+    print(f"nms capped 2000 ({n} boxes): {_time(f_cap, boxes):8.2f} ms "
+          f"(the RPN train case: post_nms_topk survivor buffer)")
     print(f"nms pallas      ({n} boxes): {_time(f_pal, boxes):8.2f} ms")
 
 

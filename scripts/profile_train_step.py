@@ -6,6 +6,12 @@ Works through the axon tunnel (produces vm.trace.json.gz with real
 
     python scripts/profile_train_step.py --out /tmp/step_trace
     python scripts/analyze_trace.py /tmp/step_trace
+
+Round-5: supports the deployment regimes from BASELINE.md's batch-scaling
+table — ``--batch 8`` traces the full-recipe global-batch-8 step on one chip,
+``--depth 101 --batch 4 --grad-accum 2`` the R-101 accumulated regime, and
+``--steady N`` first trains N real-lr steps over rotating batches (bench.py's
+steady-state protocol) so the traced step sees trained-RPN proposal sizes.
 """
 
 import argparse
@@ -20,55 +26,75 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/step_trace")
     ap.add_argument("--steps", type=int, default=3, help="traced steps")
+    ap.add_argument("--batch", type=int, default=2,
+                    help="strong (and weak) images per microbatch")
+    ap.add_argument("--depth", type=int, default=50, choices=(50, 101))
+    ap.add_argument("--grad-accum", type=int, default=1)
+    ap.add_argument("--steady", type=int, default=0,
+                    help="real-lr warmup steps before tracing (0 = trace the "
+                         "from-init regime, rounds 1-3 behavior)")
     args = ap.parse_args()
+
+    import dataclasses
 
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    from unit_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from __graft_entry__ import _bench_optimizer, _model_config
+    from bench import _make_batches
     from unit_tpu.engine import create_train_state, make_train_step
     from unit_tpu.models import WSRCNN
 
-    model = WSRCNN(mc=_model_config(tiny=False))
-    opt = _bench_optimizer(1e-6, momentum=0.9)  # recipe freeze semantics
-    b, h, w = 2, 800, 1344
+    mc = _model_config(tiny=False)
+    if args.depth != mc.depth:
+        mc = dataclasses.replace(mc, depth=args.depth)
+    model = WSRCNN(mc=mc)
+    opt = _bench_optimizer(1e-6, momentum=0.9, steady_after=args.steady)
     state = create_train_state(model, opt, jax.random.PRNGKey(0), (1, 256, 256, 3))
-    rng = np.random.RandomState(0)
-    boxes = np.zeros((b, 8, 4), np.float32)
-    boxes[..., :2] = rng.rand(b, 8, 2) * 300
-    boxes[..., 2:] = boxes[..., :2] + 30 + rng.rand(b, 8, 2) * 200
-    strong = {
-        "image": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32) * 255,
-        "gt_boxes": jnp.asarray(boxes),
-        "gt_classes": jnp.asarray(rng.randint(0, 15, (b, 8)), jnp.int32),
-        "gt_valid": jnp.ones((b, 8), bool),
-        "image_size": jnp.asarray([[h, w]] * b, jnp.float32),
-    }
-    labels = np.zeros((b, 20), np.float32)
-    labels[:, [1, 7, 11]] = 1.0
-    weak = {
-        "image": jnp.asarray(rng.rand(b, h, w, 3), jnp.float32) * 255,
-        "labels": jnp.asarray(labels),
-        "image_size": jnp.asarray([[h, w]] * b, jnp.float32),
-    }
-    step = make_train_step(model, opt)
+    batches = _make_batches(mc, n_batches=4, b=args.batch)
+    if args.grad_accum > 1:
+        n = len(batches)
+        batches = [
+            tuple(
+                jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *(batches[(i + j) % n][s] for j in range(args.grad_accum)),
+                )
+                for s in range(2)
+            )
+            for i in range(n)
+        ]
+        step = make_train_step(model, opt, grad_accum=args.grad_accum)
+    else:
+        step = make_train_step(model, opt)
+
     t0 = time.time()
-    state, metrics = step(state, strong, weak, None, jax.random.PRNGKey(1))
+    state, metrics = step(state, *batches[0], None, jax.random.PRNGKey(1))
     # host fetch of a scalar is the only reliable barrier through the tunnel
     float(np.asarray(metrics["total_loss"]))
-    print(f"warmup {time.time() - t0:.0f}s", flush=True)
+    print(f"warmup compile {time.time() - t0:.0f}s", flush=True)
+
+    if args.steady:
+        t0 = time.time()
+        for i in range(1, args.steady):
+            state, metrics = step(
+                state, *batches[i % len(batches)], None, jax.random.PRNGKey(200 + i)
+            )
+        tl = float(np.asarray(metrics["total_loss"]))
+        assert tl == tl, "steady warmup diverged to NaN"
+        print(f"steady warmup {args.steady} steps {time.time() - t0:.0f}s "
+              f"(loss {tl:.3f})", flush=True)
 
     jax.profiler.start_trace(args.out)
     for i in range(args.steps):
-        state, metrics = step(state, strong, weak, None, jax.random.PRNGKey(2 + i))
+        state, metrics = step(
+            state, *batches[i % len(batches)], None, jax.random.PRNGKey(9000 + i)
+        )
     float(np.asarray(metrics["total_loss"]))
     jax.profiler.stop_trace()
     print(f"trace written to {args.out}", flush=True)

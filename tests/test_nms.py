@@ -67,3 +67,36 @@ def test_batched_nms_classes_dont_interact(rng):
     idxs2 = np.zeros(4, np.int32)
     _, ok2 = N.batched_nms(jnp.asarray(box), jnp.asarray(scores), jnp.asarray(idxs2), 0.5, 4)
     assert int(np.asarray(ok2).sum()) == 1
+
+
+def test_capped_survivor_buffer_matches_full(rng):
+    """Round-5 NMS fast path: the max_keep survivor-buffer algorithm must
+    return the EXACT same consumed prefix (first max_out kept boxes, in
+    order) as the full tiled greedy algorithm, across cluster densities
+    that exercise long suppression chains and early buffer fill."""
+    for n, max_out, thr, spread in [
+        (2048, 256, 0.5, 400.0),   # dense clusters, chains
+        (1600, 128, 0.7, 150.0),   # very dense, buffer fills early
+        (1200, 600, 0.5, 2000.0),  # sparse, buffer never fills
+        (700, 700, 0.5, 300.0),    # max_keep >= n: full path
+    ]:
+        centers = rng.rand(n, 2) * spread
+        wh = 20 + rng.rand(n, 2) * 60
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], 1).astype(
+            np.float32
+        )
+        scores = rng.rand(n).astype(np.float32)
+        valid = rng.rand(n) > 0.05
+        s = np.where(valid, scores, -1e30)
+        order = np.argsort(-s)
+        sv = s[order] > -1e29
+        sb = jnp.asarray(np.where(sv[:, None], boxes[order], 0.0))
+        keep_full = np.asarray(N.nms_sorted_mask(sb, thr, 512)) & sv
+        want = order[np.flatnonzero(keep_full)[:max_out]]
+
+        idx, ok = N.nms(
+            jnp.asarray(boxes), jnp.asarray(scores), thr, max_out,
+            valid=jnp.asarray(valid),
+        )
+        got = np.asarray(idx)[np.asarray(ok)]
+        assert np.array_equal(got, want), (n, max_out, thr)

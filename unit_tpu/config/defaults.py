@@ -313,6 +313,9 @@ def get_cfg() -> CN:
     #                                      pipelining the GRAD_ACCUM microbatches
     #                                      with a ppermute feature handoff;
     #                                      needs GRAD_ACCUM >= 2, devices = data*2
+    _C.TPU.TTA_PROPOSAL_TOPK = 0         # >0: re-score only the top-K canonical
+                                         # proposals per TTA variant (0 = all,
+                                         # the reference protocol; head cost ~K/P)
     _C.TPU.EVAL_BATCH_SIZE = 1           # non-TTA eval batch (ref is batch-1 only,
     #                                      rcnn.py:494; our predict path is batched)
     _C.TPU.FOLD_BN_AT_EVAL = False       # fold FrozenBN into conv kernels for the

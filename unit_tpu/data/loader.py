@@ -523,10 +523,15 @@ def build_tta_test_loader(cfg, dataset_name: str, image_loader=None):
     (WeakRCNN tta_fn semantics, rcnn.py:44-83).  Batch size is fixed at 1, as in
     the reference's TTA path (rcnn.py:136)."""
     from .transforms import (
-        TransformConfig, _canvas_for, prepare_detection_record,
+        TransformConfig, max_aspect_of, prepare_detection_record, tta_canvas_for,
     )
 
     records = _host_shard(DatasetCatalog.get(dataset_name))
+    # Tight per-scale variant canvases (round-5 TTA lever): the long side is
+    # bounded by min_size * the dataset's max aspect ratio, not the global
+    # TEST.AUG.MAX_SIZE — identical content + local-conv zero padding, far
+    # fewer dead backbone pixels (480x2000 -> 480x832 on VOC-like aspects).
+    max_aspect = max_aspect_of(records)
     base_t = TransformConfig.test_from_cfg(cfg)
     use_proposals = bool(cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TEST)
     if use_proposals:
@@ -545,7 +550,8 @@ def build_tta_test_loader(cfg, dataset_name: str, image_loader=None):
     for ms in cfg.TEST.AUG.MIN_SIZES:
         t = TransformConfig(
             min_sizes=(ms,), max_size=cfg.TEST.AUG.MAX_SIZE,
-            canvas=_canvas_for(ms, cfg.TEST.AUG.MAX_SIZE, cfg.TPU.SIZE_DIVISIBILITY),
+            canvas=tta_canvas_for(ms, cfg.TEST.AUG.MAX_SIZE,
+                                  cfg.TPU.SIZE_DIVISIBILITY, max_aspect),
             flip=False, max_gt=base_t.max_gt, num_classes=base_t.num_classes,
         )
         variant_cfgs.append((t, False))

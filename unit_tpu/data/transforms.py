@@ -59,6 +59,39 @@ def _canvas_for(min_size: int, max_size: int, divisibility: int) -> Tuple[int, i
     return (rup(min_size), rup(max_size))
 
 
+def tta_canvas_for(
+    min_size: int, max_size: int, divisibility: int, max_aspect: float
+) -> Tuple[int, int]:
+    """Tight per-scale TTA canvas (round-5 TTA lever, BASELINE.md).
+
+    ``_canvas_for`` pads every TTA variant to the global ``TEST.AUG.MAX_SIZE``
+    on the long side (e.g. 480x2000 for a 480x800 variant — 2.5x wasted
+    backbone pixels).  A shortest-edge resize to ``min_size`` can only produce
+    a long side of ``min_size * aspect`` (capped at ``max_size``), so with the
+    dataset's max aspect ratio known the canvas shrinks to the content bound.
+    Semantics-preserving: the content region is identical, zero padding beyond
+    it is identical (convs are local), only the dead padded columns disappear.
+    """
+
+    def rup(x):
+        return ((x + divisibility - 1) // divisibility) * divisibility
+
+    import math
+
+    long_side = min(int(math.ceil(min_size * max_aspect)), max_size)
+    return (rup(min_size), rup(max(long_side, min_size)))
+
+
+def max_aspect_of(records) -> float:
+    """Max(long/short) aspect ratio over a dataset's records (TTA canvases)."""
+    ar = 1.0
+    for r in records:
+        w, h = float(r.get("width", 0) or 0), float(r.get("height", 0) or 0)
+        if w > 0 and h > 0:
+            ar = max(ar, w / h, h / w)
+    return ar
+
+
 def oriented_canvas(h: int, w: int, canvas: Tuple[int, int]) -> Tuple[int, int]:
     """Orientation-bucketed fixed canvas (d2 AspectRatioGroupedDataset
     equivalent): portrait content (h > w) gets the transposed canvas so tall

@@ -150,17 +150,9 @@ def setup(args):
         jax.config.update("jax_platforms", plat)
     # persistent compile cache for the CLI runs (same as bench.py): repeat
     # train/eval invocations skip the multi-minute remote compiles
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(
-                os.path.dirname(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__)))), ".jax_cache",
-            ),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from unit_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     cfg = get_cfg()
     if args.config_file:
         cfg.merge_from_file(args.config_file)
@@ -386,6 +378,7 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
                 return model.apply(
                     {"params": params}, cimg, csz, variants,
                     proposal_boxes=pb, proposal_valid=pv,
+                    tta_topk=cfg.TPU.TTA_PROPOSAL_TOPK,
                     method=WSRCNN.predict_tta,
                 )
         else:
@@ -396,7 +389,9 @@ def make_eval_fn(cfg, model, mesh=None, image_loader=None):
                     for (im, sz, sc), fl in zip(var_arrays, flips)
                 ]
                 return model.apply(
-                    {"params": params}, cimg, csz, variants, method=WSRCNN.predict_tta
+                    {"params": params}, cimg, csz, variants,
+                    tta_topk=cfg.TPU.TTA_PROPOSAL_TOPK,
+                    method=WSRCNN.predict_tta,
                 )
 
     def eval_fn(state):
@@ -532,6 +527,7 @@ def run(args):
 
     if resume_step is not None:
         trainer.state = ckpt.restore(template=jax.device_get(trainer.state))
+        logger.info("resuming from step %d", int(resume_step))
 
     eval_fn = make_eval_fn(cfg, model, mesh)
     if args.eval_only:
@@ -540,8 +536,15 @@ def run(args):
         print_csv_format(results)
         return results
 
+    from ..solver.build import warmup_multistep
+
+    lr_schedule = warmup_multistep(
+        cfg.SOLVER.BASE_LR, cfg.SOLVER.STEPS, cfg.SOLVER.GAMMA,
+        cfg.SOLVER.WARMUP_FACTOR, cfg.SOLVER.WARMUP_ITERS,
+    )
     hooks = [
-        MetricsHook(cfg.OUTPUT_DIR, period=20, max_iter=cfg.SOLVER.MAX_ITER),
+        MetricsHook(cfg.OUTPUT_DIR, period=20, max_iter=cfg.SOLVER.MAX_ITER,
+                    lr_fn=lr_schedule),
     ]
     profile_hook = None
     if cfg.TPU.PROFILE_START_STEP > 0:

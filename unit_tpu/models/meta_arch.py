@@ -883,6 +883,7 @@ class WSRCNN(nn.Module):
         with_transfer: bool = True,
         proposal_boxes: Optional[jnp.ndarray] = None,
         proposal_valid: Optional[jnp.ndarray] = None,
+        tta_topk: int = 0,
     ) -> Detections:
         """Multi-scale + flip test-time augmentation (rcnn.py:136-185).
 
@@ -918,6 +919,18 @@ class WSRCNN(nn.Module):
             anchors = rpn_lib.get_anchors(fh, fw, mc.rpn)
             proposals = rpn_lib.select_proposals(
                 logits, deltas, anchors, canonical_image_sizes, mc.rpn, training=False
+            )
+        if tta_topk and tta_topk < proposals.boxes.shape[1]:
+            # Optional throughput knob (``TPU.TTA_PROPOSAL_TOPK``, default off
+            # = reference-exact): re-score only the top-K canonical proposals
+            # by objectness across all variants.  Head cost scales ~K/P;
+            # accuracy impact measured on shapes-VOC in BASELINE.md.
+            score = jnp.where(proposals.valid, proposals.objectness, -jnp.inf)
+            idx = jax.lax.top_k(score, tta_topk)[1]  # [B, K]
+            proposals = rpn_lib.Proposals(
+                boxes=jnp.take_along_axis(proposals.boxes, idx[..., None], axis=1),
+                objectness=jnp.take_along_axis(proposals.objectness, idx, axis=1),
+                valid=jnp.take_along_axis(proposals.valid, idx, axis=1),
             )
         b, p = proposals.boxes.shape[:2]
 

@@ -32,22 +32,63 @@ def _pad_rows(x: jnp.ndarray, n: int, value=0.0) -> jnp.ndarray:
     return jnp.pad(x, cfg, constant_values=value)
 
 
+def _self_suppress(tile: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
+    """Within-tile greedy fixed point: alive mask (zero-area rows never live)."""
+    t = tile.shape[0]
+    iou_tile = box_ops.pairwise_iou(tile, tile)
+    tri = jnp.triu(jnp.ones((t, t), dtype=bool), k=1)  # i < j: i outranks j
+    supp_f = (jnp.where(tri, iou_tile, 0.0) > iou_threshold).astype(jnp.float32)
+    alive0 = box_ops.nonempty(tile)
+
+    def cond(carry):
+        alive, prev, it = carry
+        return jnp.logical_and(it < t, jnp.any(alive != prev))
+
+    def body(carry):
+        alive, _, it = carry
+        hit = (alive.astype(jnp.float32) @ supp_f) > 0.0
+        return (alive0 & ~hit, alive, it + 1)
+
+    alive, _, _ = jax.lax.while_loop(
+        cond, body, (alive0, jnp.zeros_like(alive0), jnp.int32(0))
+    )
+    return alive
+
+
 def nms_sorted_mask(
     sorted_boxes: jnp.ndarray,
     iou_threshold: float,
     tile_size: int = 512,
+    max_keep: Optional[int] = None,
 ) -> jnp.ndarray:
     """Exact greedy NMS over boxes already sorted by score descending.
 
     Boxes with zero area are treated as invalid (never kept, never suppress).
     Returns a bool keep mask aligned with ``sorted_boxes``.
+
+    ``max_keep``: when the caller only consumes the FIRST ``max_keep`` kept
+    boxes (every NMS in this framework does — RPN post_nms_topk, detection
+    topk), suppression by survivors ranked beyond the ``max_keep``-th cannot
+    affect those outputs: a box suppressed only by such a survivor itself
+    ranks beyond ``max_keep`` kept boxes.  Cross-tile suppression therefore
+    only needs a ``max_keep``-slot survivor BUFFER instead of all earlier
+    rows (12k -> 2k rows for the RPN train case, ~3x less IoU work), and
+    whole tiles skip via ``lax.cond`` once the buffer is full.  The first
+    ``max_keep`` kept boxes are bit-identical to the full algorithm; mask
+    entries past them may differ (they are never consumed).
     """
     n = sorted_boxes.shape[0]
     t = min(tile_size, n)
     n_pad = ((n + t - 1) // t) * t
-    state = _pad_rows(sorted_boxes, n_pad)
     num_tiles = n_pad // t
+    padded = _pad_rows(sorted_boxes, n_pad)
 
+    if max_keep is not None and max_keep < n:
+        return _nms_sorted_mask_capped(
+            padded, iou_threshold, t, num_tiles, max_keep
+        )[:n]
+
+    state = padded
     # Tiles unroll at trace time so the cross-suppression slice is STATIC:
     # tile i only tests against the i*t earlier rows instead of all n_pad
     # (a fori_loop needs dynamic slices of the full state) — exactly halving
@@ -62,30 +103,63 @@ def nms_sorted_mask(
             dead = jnp.any(iou_prev > iou_threshold, axis=0)
             tile = jnp.where(dead[:, None], 0.0, tile)
 
-        # Self-suppression to a fixed point: within the tile, a live box kills all
-        # lower-scored boxes with IoU > thr; iterate until stable (chain depth).
-        iou_tile = box_ops.pairwise_iou(tile, tile)
-        tri = jnp.triu(jnp.ones((t, t), dtype=bool), k=1)  # i < j: i outranks j
-        supp = jnp.where(tri, iou_tile, 0.0) > iou_threshold
-        supp_f = supp.astype(jnp.float32)
-        alive0 = box_ops.nonempty(tile)
-
-        def cond(carry):
-            alive, prev, it = carry
-            return jnp.logical_and(it < t, jnp.any(alive != prev))
-
-        def body(carry):
-            alive, _, it = carry
-            hit = (alive.astype(jnp.float32) @ supp_f) > 0.0
-            return (alive0 & ~hit, alive, it + 1)
-
-        alive, _, _ = jax.lax.while_loop(
-            cond, body, (alive0, jnp.zeros_like(alive0), jnp.int32(0))
-        )
+        alive = _self_suppress(tile, iou_threshold)
         tile = jnp.where(alive[:, None], tile, 0.0)
         state = state.at[start:start + t].set(tile)
 
     return box_ops.nonempty(state)[:n]
+
+
+def _nms_sorted_mask_capped(
+    padded: jnp.ndarray,
+    iou_threshold: float,
+    t: int,
+    num_tiles: int,
+    max_keep: int,
+) -> jnp.ndarray:
+    """Survivor-buffer greedy NMS (see nms_sorted_mask docstring)."""
+    n_pad = padded.shape[0]
+    # lane-friendly buffer capacity
+    cap = min(n_pad, ((max_keep + 127) // 128) * 128)
+    buf = jnp.zeros((cap, 4), padded.dtype)
+    k = jnp.int32(0)  # survivors appended so far
+    keep = jnp.zeros((n_pad,), bool)
+
+    for tile_i in range(num_tiles):
+        start = tile_i * t
+
+        def process(carry, start=start):
+            keep, buf, k = carry
+            tile = jax.lax.dynamic_slice_in_dim(padded, start, t)
+            if start > 0:
+                m = min(start, cap)  # static: buffer rows that can be live
+                iou_prev = box_ops.pairwise_iou(buf[:m], tile)  # [m, t]
+                dead = jnp.any(iou_prev > iou_threshold, axis=0)
+                tile = jnp.where(dead[:, None], 0.0, tile)
+            alive = _self_suppress(tile, iou_threshold)
+            tile = jnp.where(alive[:, None], tile, 0.0)
+            keep = jax.lax.dynamic_update_slice_in_dim(keep, alive, start, 0)
+            # append survivors to the buffer (each row written at most once
+            # across all tiles since k only grows) via a one-hot matmul —
+            # MXU-friendly, no scatter
+            pos = k + jnp.cumsum(alive.astype(jnp.int32)) - 1  # [t]
+            ok = alive & (pos < cap)
+            onehot = (
+                (pos[None, :] == jnp.arange(cap)[:, None]) & ok[None, :]
+            ).astype(padded.dtype)
+            buf = buf + onehot @ tile
+            k = jnp.minimum(k + alive.sum(dtype=jnp.int32), jnp.int32(cap))
+            return keep, buf, k
+
+        if start == 0:
+            keep, buf, k = process((keep, buf, k))
+        else:
+            # once max_keep survivors exist, later boxes cannot enter the
+            # consumed prefix: skip the whole tile
+            keep, buf, k = jax.lax.cond(
+                k >= max_keep, lambda c: c, process, (keep, buf, k)
+            )
+    return keep
 
 
 @partial(jax.jit, static_argnames=("iou_threshold", "max_out", "tile_size"))
@@ -108,7 +182,10 @@ def nms(
     sorted_valid = jnp.take(s, order) > _NEG_INF / 2
     sorted_boxes = jnp.where(sorted_valid[:, None], sorted_boxes, 0.0)
 
-    keep_sorted = nms_sorted_mask(sorted_boxes, iou_threshold, tile_size) & sorted_valid
+    keep_sorted = (
+        nms_sorted_mask(sorted_boxes, iou_threshold, tile_size, max_keep=max_out)
+        & sorted_valid
+    )
 
     slot_key = jnp.where(keep_sorted, jnp.arange(n), n + 1)
     take = jnp.argsort(slot_key)[:max_out]

@@ -111,9 +111,10 @@ class MetricsHook:
     """Trainer hook: accumulate metrics + periodic writes."""
 
     def __init__(self, output_dir: str, period: int = 20, max_iter: Optional[int] = None,
-                 tensorboard: bool = False):
+                 tensorboard: bool = False, lr_fn=None):
         self.storage = EventStorage()
         self.period = period
+        self.lr_fn = lr_fn  # step -> current lr (d2 logs lr per step)
         self.writers = [
             ConsoleWriter(max_iter),
             JSONWriter(os.path.join(output_dir, "metrics.json")),
@@ -124,6 +125,8 @@ class MetricsHook:
     def __call__(self, step: int, metrics: dict, trainer):
         self.storage.iter = step
         self.storage.put_scalars(**metrics)
+        if self.lr_fn is not None:
+            self.storage.put_scalars(lr=float(self.lr_fn(step)))
         if step % self.period == 0:
             for w in self.writers:
                 w.write(step, self.storage)
