@@ -21,13 +21,25 @@ import numpy as np
 
 
 def run(service, requests, clients, mode):
+    """-> (req/s, p50 ms, p99 ms) under ``clients`` concurrent callers."""
     call = service.detect_bytes if mode == "bytes" else service.detect_array
+    lat = []
+
+    def timed_call(r):
+        t = time.perf_counter()
+        out = call(r)
+        lat.append((time.perf_counter() - t) * 1e3)
+        return out
+
     with cf.ThreadPoolExecutor(clients) as pool:
         t0 = time.perf_counter()
-        results = list(pool.map(call, requests))
+        results = list(pool.map(timed_call, requests))
         dt = time.perf_counter() - t0
     assert all(isinstance(r, list) for r in results)
-    return len(requests) / dt
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+    return len(requests) / dt, p50, p99
 
 
 def main():
@@ -51,11 +63,9 @@ def main():
     plat = os.environ.get("UNIT_TPU_PLATFORM", "")
     if plat:
         jax.config.update("jax_platforms", plat)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    from unit_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
 
@@ -99,17 +109,26 @@ def main():
     svc1 = DetectionService(cfg, model=model, params=params)
     svc1.warmup()
     run(svc1, requests[: args.clients * 2], args.clients, args.mode)
-    r1 = run(svc1, requests, args.clients, args.mode)
-    print(f"[{args.mode}] batch 1:       {r1:.2f} req/s ({1e3 / r1:.1f} ms/req)")
+    r1, p50_1, p99_1 = run(svc1, requests, args.clients, args.mode)
+    print(f"[{args.mode}] c={args.clients} batch 1:       {r1:.2f} req/s  "
+          f"p50 {p50_1:.0f} ms  p99 {p99_1:.0f} ms")
 
     svcN = DetectionService(cfg, model=model, params=params,
                             batch_size=args.batch, batch_wait_ms=10.0)
     svcN.warmup()  # compiles every power-of-two batch program
     run(svcN, requests[: args.clients * 2], args.clients, args.mode)
-    rN = run(svcN, requests, args.clients, args.mode)
+    rN, p50_N, p99_N = run(svcN, requests, args.clients, args.mode)
+    print(f"[{args.mode}] c={args.clients} batch {args.batch} (micro): "
+          f"{rN:.2f} req/s  p50 {p50_N:.0f} ms  p99 {p99_N:.0f} ms  "
+          f"speedup x{rN / r1:.2f}")
+    # latency/throughput vs concurrency for the micro-batched service
+    for c in (1, 2, 4, 8, 16):
+        if c == args.clients or c > args.requests:
+            continue
+        rc, p50_c, p99_c = run(svcN, requests, c, args.mode)
+        print(f"[{args.mode}] c={c} batch {args.batch} (micro): "
+              f"{rc:.2f} req/s  p50 {p50_c:.0f} ms  p99 {p99_c:.0f} ms")
     svcN.close()
-    print(f"[{args.mode}] batch {args.batch} (micro): {rN:.2f} req/s "
-          f"({1e3 / rN:.1f} ms/req)  speedup x{rN / r1:.2f}")
 
 
 if __name__ == "__main__":

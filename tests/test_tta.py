@@ -121,3 +121,49 @@ def test_predict_tta_flip_variant(model_and_vars):
     )
     assert np.isfinite(np.asarray(det.boxes)).all()
     assert np.isfinite(np.asarray(det.scores)).all()
+
+
+@pytest.mark.slow
+def test_tta_tight_canvas_matches_wide(model_and_vars):
+    """Round-5 TTA lever: tight vs wide variant canvases.
+
+    NOT bit-identical: canvas pixels are zeros, which preprocess maps to
+    -mean/std, and the canvas edge's conv halo (zeros past the edge) sits at
+    a different distance from the content — inside res4's receptive field.
+    The REFERENCE pads each TTA variant only to divisibility 32 (d2
+    ImageList at batch 1), i.e. its geometry IS the tight canvas; the wide
+    canvas (pre-round-5) was the approximation.  This test bounds the
+    tight-vs-wide drift to sub-pixel box and small score deltas."""
+    model, variables = model_and_vars
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+    sizes = jnp.asarray([[64, 64]], jnp.float32)
+
+    content = rng.rand(48, 48, 3).astype(np.float32) * 255
+    tight = np.zeros((1, 48, 64, 3), np.float32)
+    tight[0, :48, :48] = content
+    wide = np.zeros((1, 48, 128, 3), np.float32)
+    wide[0, :48, :48] = content
+    vsz = jnp.asarray([[48, 48]], jnp.float32)
+
+    det_t = model.apply(
+        variables, img, sizes,
+        [{"image": jnp.asarray(tight), "image_size": vsz, "scale": 0.75,
+          "flip": False}],
+        method=WSRCNN.predict_tta,
+    )
+    det_w = model.apply(
+        variables, img, sizes,
+        [{"image": jnp.asarray(wide), "image_size": vsz, "scale": 0.75,
+          "flip": False}],
+        method=WSRCNN.predict_tta,
+    )
+    vt, vw = np.asarray(det_t.valid), np.asarray(det_w.valid)
+    assert vt.sum() == vw.sum()
+    if vt.any():
+        np.testing.assert_allclose(
+            np.asarray(det_t.boxes)[vt], np.asarray(det_w.boxes)[vw], atol=0.5
+        )
+        np.testing.assert_allclose(
+            np.asarray(det_t.scores)[vt], np.asarray(det_w.scores)[vw], atol=0.02
+        )

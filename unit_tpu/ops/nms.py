@@ -72,10 +72,12 @@ def nms_sorted_mask(
     affect those outputs: a box suppressed only by such a survivor itself
     ranks beyond ``max_keep`` kept boxes.  Cross-tile suppression therefore
     only needs a ``max_keep``-slot survivor BUFFER instead of all earlier
-    rows (12k -> 2k rows for the RPN train case, ~3x less IoU work), and
-    whole tiles skip via ``lax.cond`` once the buffer is full.  The first
-    ``max_keep`` kept boxes are bit-identical to the full algorithm; mask
-    entries past them may differ (they are never consumed).
+    rows (12k -> 2k rows for the RPN train case, ~3x less IoU work).  The
+    first ``max_keep`` kept boxes are bit-identical to the full algorithm;
+    mask entries past them may differ (they are never consumed).  No
+    early-exit branch: every call site runs under ``vmap`` (batched RPN /
+    per-image detection heads), where ``lax.cond`` lowers to ``select``
+    executing both branches — a tile-skip can never pay there.
     """
     n = sorted_boxes.shape[0]
     t = min(tile_size, n)
@@ -127,38 +129,27 @@ def _nms_sorted_mask_capped(
 
     for tile_i in range(num_tiles):
         start = tile_i * t
-
-        def process(carry, start=start):
-            keep, buf, k = carry
-            tile = jax.lax.dynamic_slice_in_dim(padded, start, t)
-            if start > 0:
-                m = min(start, cap)  # static: buffer rows that can be live
-                iou_prev = box_ops.pairwise_iou(buf[:m], tile)  # [m, t]
-                dead = jnp.any(iou_prev > iou_threshold, axis=0)
-                tile = jnp.where(dead[:, None], 0.0, tile)
-            alive = _self_suppress(tile, iou_threshold)
-            tile = jnp.where(alive[:, None], tile, 0.0)
-            keep = jax.lax.dynamic_update_slice_in_dim(keep, alive, start, 0)
-            # append survivors to the buffer (each row written at most once
-            # across all tiles since k only grows) via a one-hot matmul —
-            # MXU-friendly, no scatter
-            pos = k + jnp.cumsum(alive.astype(jnp.int32)) - 1  # [t]
-            ok = alive & (pos < cap)
-            onehot = (
-                (pos[None, :] == jnp.arange(cap)[:, None]) & ok[None, :]
-            ).astype(padded.dtype)
-            buf = buf + onehot @ tile
-            k = jnp.minimum(k + alive.sum(dtype=jnp.int32), jnp.int32(cap))
-            return keep, buf, k
-
-        if start == 0:
-            keep, buf, k = process((keep, buf, k))
-        else:
-            # once max_keep survivors exist, later boxes cannot enter the
-            # consumed prefix: skip the whole tile
-            keep, buf, k = jax.lax.cond(
-                k >= max_keep, lambda c: c, process, (keep, buf, k)
-            )
+        tile = padded[start:start + t]
+        if start > 0:
+            m = min(start, cap)  # static: buffer rows that can be live
+            iou_prev = box_ops.pairwise_iou(buf[:m], tile)  # [m, t]
+            dead = jnp.any(iou_prev > iou_threshold, axis=0)
+            tile = jnp.where(dead[:, None], 0.0, tile)
+        alive = _self_suppress(tile, iou_threshold)
+        tile = jnp.where(alive[:, None], tile, 0.0)
+        keep = jax.lax.dynamic_update_slice_in_dim(keep, alive, start, 0)
+        # append survivors to the buffer (each row written at most once
+        # across all tiles since k only grows) via a one-hot matmul —
+        # MXU-friendly, no scatter.  Survivors past the buffer are dropped:
+        # they rank beyond the max_keep-th keep and cannot suppress anything
+        # the caller consumes.
+        pos = k + jnp.cumsum(alive.astype(jnp.int32)) - 1  # [t]
+        ok = alive & (pos < cap)
+        onehot = (
+            (pos[None, :] == jnp.arange(cap)[:, None]) & ok[None, :]
+        ).astype(padded.dtype)
+        buf = buf + onehot @ tile
+        k = jnp.minimum(k + alive.sum(dtype=jnp.int32), jnp.int32(cap))
     return keep
 
 
