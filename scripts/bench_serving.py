@@ -54,6 +54,18 @@ def main():
                     help="bytes = full request path incl. JPEG decode "
                          "(C in-memory decoder when built); array = "
                          "pre-decoded ndarray input")
+    ap.add_argument("--config-file", default="",
+                    help="bench a shipped config (flagship arch) instead of "
+                         "the bare cfg defaults")
+    ap.add_argument("--weights", default="",
+                    help="orbax checkpoint dir (or .npz) for trained params; "
+                         "random init puts the RPN in its pathological "
+                         "whole-image-boxes regime and times a program state "
+                         "production never runs (BASELINE.md round 5)")
+    ap.add_argument("--images-dir", default="",
+                    help="directory of real JPEGs for the request stream "
+                         "(cycled); default = synthetic noise JPEGs, which "
+                         "decode ~3x slower than natural images")
     args = ap.parse_args()
 
     import jax
@@ -74,6 +86,8 @@ def main():
     from unit_tpu.serving import DetectionService
 
     cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 20
     cfg.MODEL.RESNETS.DEPTH = args.depth
     cfg.INPUT.MIN_SIZE_TEST = args.min_size
@@ -84,27 +98,56 @@ def main():
         jnp.asarray([[64, 64]], jnp.float32),
     )
     params = variables["params"]
+    if args.weights:
+        from unit_tpu.engine.runner import load_initial_weights
+
+        cfg.MODEL.WEIGHTS = args.weights
+        params = load_initial_weights(cfg, jax.device_get(params))
 
     rng = np.random.RandomState(0)
-    # landscape-only request stream (one orientation = one program per config);
-    # off-canvas dims so the resize path genuinely runs
-    h, w = int(args.min_size * 0.96), int(args.max_size * 0.97)
-    arrays = [
-        rng.rand(h, w, 3).astype(np.float32) * 255
-        for _ in range(args.requests)
-    ]
-    if args.mode == "bytes":
-        import io
+    if args.images_dir:
+        import glob
 
-        from PIL import Image
+        files = sorted(
+            glob.glob(os.path.join(args.images_dir, "**", "*.jpg"),
+                      recursive=True)
+        )
+        assert files, f"no JPEGs under {args.images_dir}"
+        jpegs = [open(files[i % len(files)], "rb").read()
+                 for i in range(args.requests)]
+        if args.mode == "bytes":
+            requests = jpegs
+        else:
+            from PIL import Image
+            import io
 
-        requests = []
-        for a in arrays:
-            buf = io.BytesIO()
-            Image.fromarray(a.astype(np.uint8)).save(buf, format="JPEG", quality=90)
-            requests.append(buf.getvalue())
+            requests = [
+                np.asarray(
+                    Image.open(io.BytesIO(b)).convert("RGB"), np.float32
+                )[:, :, ::-1]
+                for b in jpegs
+            ]
     else:
-        requests = arrays
+        # landscape-only request stream (one orientation = one program per
+        # config); off-canvas dims so the resize path genuinely runs
+        h, w = int(args.min_size * 0.96), int(args.max_size * 0.97)
+        arrays = [
+            rng.rand(h, w, 3).astype(np.float32) * 255
+            for _ in range(args.requests)
+        ]
+        if args.mode == "bytes":
+            import io
+
+            from PIL import Image
+
+            requests = []
+            for a in arrays:
+                buf = io.BytesIO()
+                Image.fromarray(a.astype(np.uint8)).save(
+                    buf, format="JPEG", quality=90)
+                requests.append(buf.getvalue())
+        else:
+            requests = arrays
 
     svc1 = DetectionService(cfg, model=model, params=params)
     svc1.warmup()

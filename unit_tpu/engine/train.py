@@ -11,6 +11,7 @@ async) and DDP's allreduce becomes the compiler-inserted gradient psum.
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Any, Callable, Dict, Iterator, Optional
 
 import chex
@@ -495,6 +496,79 @@ def make_predict_fn(model: WSRCNN, mesh=None, with_proposals: bool = False) -> C
     )
 
 
+class LazyMetrics:
+    """Mapping of one step's scalar losses with a DEFERRED device->host fetch.
+
+    The train loop used to ``jax.device_get`` the metric dict every step — a
+    synchronous device round trip per iteration, which on a remote-attached
+    chip (axon tunnel) costs ~0.3-0.4 s of pure latency and dominated the CLI
+    step wall (BASELINE.md round 5).  ``run_step`` now starts an async host
+    copy at dispatch and returns this view; the floats materialize on first
+    access (tests, anomaly check) or when the trainer's bounded in-flight
+    queue forces the oldest entry, so the fetch latency overlaps subsequent
+    steps' compute.  Values are identical to the eager fetch — only the time
+    at which the host blocks moves.
+    """
+
+    __slots__ = ("_dev", "_vals", "_data_time", "step", "_check")
+
+    def __init__(self, device_metrics, data_time: float, step: int,
+                 detect_anomaly: bool):
+        self._dev = device_metrics
+        self._vals: Optional[Dict[str, float]] = None
+        self._data_time = data_time
+        self.step = step
+        self._check = detect_anomaly
+
+    def resolve(self) -> Dict[str, float]:
+        if self._vals is None:
+            vals = {k: float(v) for k, v in jax.device_get(self._dev).items()}
+            vals["data_time"] = self._data_time
+            self._dev = None
+            self._vals = vals
+            # anomaly guard (the reference's _detect_anomaly NaN/Inf check,
+            # engine/defaults.py:281): fail fast with the full loss dict.
+            # Runs at resolution, i.e. at most metrics_pipeline_depth (or one
+            # MetricsHook period) steps after the bad step.
+            if self._check and not all(
+                v == v and abs(v) != float("inf") for v in vals.values()
+            ):
+                raise FloatingPointError(
+                    f"non-finite loss at iter {self.step}: {vals}"
+                )
+        return self._vals
+
+    # Mapping surface (dict(), **unpack, json via dict(), item access)
+    def __getitem__(self, key):
+        return self.resolve()[key]
+
+    def __iter__(self):
+        return iter(self.resolve())
+
+    def __len__(self):
+        return len(self.resolve())
+
+    def __contains__(self, key):
+        return key in self.resolve()
+
+    def keys(self):
+        return self.resolve().keys()
+
+    def values(self):
+        return self.resolve().values()
+
+    def items(self):
+        return self.resolve().items()
+
+    def get(self, key, default=None):
+        return self.resolve().get(key, default)
+
+    def __repr__(self):
+        return repr(self._vals) if self._vals is not None else (
+            f"LazyMetrics(step={self.step}, in flight)"
+        )
+
+
 class TrainerBase:
     """Shared loop: hooks for metrics, periodic checkpoint/eval are supplied by
     the caller (checkpoint/detection_checkpoint.py equivalent lives in
@@ -566,6 +640,11 @@ class TrainerBase:
         # TPUs where each fetch pays tunnel latency
         self._host_step: Optional[int] = None
         self.metrics_history = []
+        # bounded queue of steps whose metric fetch is still in flight; forcing
+        # the oldest when full doubles as dispatch backpressure (the host can
+        # not run more than this many steps ahead of the device)
+        self.metrics_pipeline_depth = 8
+        self._inflight: "deque[LazyMetrics]" = deque()
 
     @property
     def state(self) -> Optional[TrainState]:
@@ -671,20 +750,21 @@ class TrainerBase:
         step_rng = jax.random.fold_in(self.rng, self._host_step)
         self._state, metrics = self.train_step(self.state, strong, weak, meta, step_rng)
         self._host_step += 1
-        # ONE batched host transfer for the whole metric dict (per-scalar
-        # float() would pay one device round-trip per key)
-        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-        metrics["data_time"] = data_time
-        # anomaly guard (the reference's _detect_anomaly NaN/Inf check,
-        # engine/defaults.py:281): fail fast with the full loss dict
-        if self.detect_anomaly and not all(
-            v == v and abs(v) != float("inf") for v in metrics.values()
-        ):
-            raise FloatingPointError(
-                f"non-finite loss at iter {self._host_step}: {metrics}"
-            )
-        self.metrics_history.append(metrics)
-        return metrics
+        # Deferred host transfer (LazyMetrics): start the D2H copy now so it
+        # rides along while later steps compute; blocking per-step here would
+        # pay one full device round trip per iteration (tunnel RTT >> step
+        # time on remote-attached chips, BASELINE.md round 5).
+        for leaf in jax.tree_util.tree_leaves(metrics):
+            copy = getattr(leaf, "copy_to_host_async", None)
+            if copy is not None:
+                copy()
+        lazy = LazyMetrics(metrics, data_time, self._host_step,
+                           self.detect_anomaly)
+        self._inflight.append(lazy)
+        if len(self._inflight) > self.metrics_pipeline_depth:
+            self._inflight.popleft().resolve()
+        self.metrics_history.append(lazy)
+        return lazy
 
     def train(self, max_iter: int, hooks=()):
         """Run until ``state.step`` reaches ``max_iter`` (the reference's

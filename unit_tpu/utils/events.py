@@ -115,6 +115,7 @@ class MetricsHook:
         self.storage = EventStorage()
         self.period = period
         self.lr_fn = lr_fn  # step -> current lr (d2 logs lr per step)
+        self._buf: list = []  # (step, metrics) awaiting resolution
         self.writers = [
             ConsoleWriter(max_iter),
             JSONWriter(os.path.join(output_dir, "metrics.json")),
@@ -123,10 +124,19 @@ class MetricsHook:
             self.writers.append(TensorBoardWriter(os.path.join(output_dir, "tb")))
 
     def __call__(self, step: int, metrics: dict, trainer):
-        self.storage.iter = step
-        self.storage.put_scalars(**metrics)
-        if self.lr_fn is not None:
-            self.storage.put_scalars(lr=float(self.lr_fn(step)))
+        # Buffer until the write boundary: ``metrics`` may be a LazyMetrics
+        # whose device->host fetch is still in flight (engine/train.py); by
+        # the time the period closes every buffered copy has landed, so the
+        # whole window resolves without a synchronous round trip per step.
+        # Written output is bit-identical to per-step accumulation — the
+        # storage window sees the same values in the same order.
+        self._buf.append((step, metrics))
         if step % self.period == 0:
+            for s, m in self._buf:
+                self.storage.iter = s
+                self.storage.put_scalars(**m)
+                if self.lr_fn is not None:
+                    self.storage.put_scalars(lr=float(self.lr_fn(s)))
+            self._buf.clear()
             for w in self.writers:
                 w.write(step, self.storage)
