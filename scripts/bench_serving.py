@@ -62,6 +62,10 @@ def main():
                          "random init puts the RPN in its pathological "
                          "whole-image-boxes regime and times a program state "
                          "production never runs (BASELINE.md round 5)")
+    ap.add_argument("--orientations", default="both",
+                    choices=("both", "landscape", "portrait"),
+                    help="canvas orientations to warm up (single-orientation "
+                         "request streams need not compile the other)")
     ap.add_argument("--images-dir", default="",
                     help="directory of real JPEGs for the request stream "
                          "(cycled); default = synthetic noise JPEGs, which "
@@ -150,7 +154,7 @@ def main():
             requests = arrays
 
     svc1 = DetectionService(cfg, model=model, params=params)
-    svc1.warmup()
+    svc1.warmup(orientations=args.orientations)
     run(svc1, requests[: args.clients * 2], args.clients, args.mode)
     r1, p50_1, p99_1 = run(svc1, requests, args.clients, args.mode)
     print(f"[{args.mode}] c={args.clients} batch 1:       {r1:.2f} req/s  "
@@ -158,7 +162,7 @@ def main():
 
     svcN = DetectionService(cfg, model=model, params=params,
                             batch_size=args.batch, batch_wait_ms=10.0)
-    svcN.warmup()  # compiles every power-of-two batch program
+    svcN.warmup(orientations=args.orientations)  # every pow-2 batch program
     run(svcN, requests[: args.clients * 2], args.clients, args.mode)
     rN, p50_N, p99_N = run(svcN, requests, args.clients, args.mode)
     print(f"[{args.mode}] c={args.clients} batch {args.batch} (micro): "

@@ -208,7 +208,9 @@ def main():
     # classifier stream config key uses train2014: mirror via symlinks
     t14 = os.path.join(args.root, "train2014")
     if not os.path.exists(t14):
-        os.symlink(os.path.join(args.root, "train2017"), t14)
+        # sibling-relative target: a cwd-relative path here would dangle the
+        # moment the link is resolved from inside args.root
+        os.symlink("train2017", t14)
     a14 = os.path.join(args.root, "annotations", "instances_train2014.json")
     if not os.path.exists(a14):
         os.symlink("instances_train2017.json", a14)

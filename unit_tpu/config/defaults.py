@@ -316,6 +316,11 @@ def get_cfg() -> CN:
     _C.TPU.TTA_PROPOSAL_TOPK = 0         # >0: re-score only the top-K canonical
                                          # proposals per TTA variant (0 = all,
                                          # the reference protocol; head cost ~K/P)
+    _C.TPU.HOST_TRANSFER_UINT8 = False   # ship TRAIN batches host->device as
+                                         # uint8 (4x fewer bytes; <=0.5 LSB
+                                         # image quantization vs the f32 wire).
+                                         # For remote-attached chips where the
+                                         # host link is the step wall.
     _C.TPU.EVAL_BATCH_SIZE = 1           # non-TTA eval batch (ref is batch-1 only,
     #                                      rcnn.py:494; our predict path is batched)
     _C.TPU.FOLD_BN_AT_EVAL = False       # fold FrozenBN into conv kernels for the

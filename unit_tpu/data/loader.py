@@ -156,6 +156,18 @@ class StreamLoader:
                                         training=self.training,
                                         aug=(min_size, flip))
 
+    def _emit(self, batch):
+        out = collate(batch, self.keys)
+        if self.tcfg.host_uint8 and "image" in out:
+            # Quantize the batch back to the decode wire format: pixels are
+            # uint8 before resize, and bilinear-resized values round back with
+            # <=0.5 LSB error — for 4x fewer bytes over the host->device link,
+            # the throughput wall on remote-attached chips (~40 MB/s through
+            # the axon tunnel vs ~10 MB/step at 320 px, BASELINE.md round 5).
+            # The model casts to float32 on device (meta_arch.preprocess).
+            out["image"] = np.clip(np.rint(out["image"]), 0, 255).astype(np.uint8)
+        return out
+
     def _load_native(self, rec, min_size: int, flip: bool):
         """decode+resize+flip+canvas in the C runtime (GIL-free); only the
         annotation transform stays in Python."""
@@ -202,7 +214,7 @@ class StreamLoader:
             buckets.setdefault(key, []).append(sample)
             if len(buckets[key]) == self.batch_size:
                 batch, buckets[key] = buckets[key], []
-                yield collate(batch, self.keys)
+                yield self._emit(batch)
 
     def _iter_synced(self) -> Iterator[dict]:
         """Host-synchronized orientation schedule.  Orientation is known from
@@ -240,7 +252,7 @@ class StreamLoader:
                     order = list(self.rng.permutation(len(self.records)))
                 i = order.pop()
                 pend[is_portrait[i]].append(i)
-            yield collate(batch, self.keys)
+            yield self._emit(batch)
 
     def fast_forward(self, n_batches: int) -> None:
         """Advance the stream past ``n_batches`` WITHOUT decoding any image.

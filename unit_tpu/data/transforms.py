@@ -26,6 +26,7 @@ class TransformConfig:
     with_masks: bool = False
     mask_size: int = 28                       # GT-box-frame mask resolution
     proposal_capacity: int = 0                # >0: attach padded precomputed proposals
+    host_uint8: bool = False                  # ship batches as uint8 (TPU.HOST_TRANSFER_UINT8)
 
     @classmethod
     def train_from_cfg(cls, cfg) -> "TransformConfig":
@@ -39,6 +40,7 @@ class TransformConfig:
             flip=cfg.INPUT.RANDOM_FLIP != "none", max_gt=cfg.TPU.MAX_GT_BOXES,
             num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
             with_masks=cfg.MODEL.MASK_ON,
+            host_uint8=cfg.TPU.HOST_TRANSFER_UINT8,
         )
 
     @classmethod

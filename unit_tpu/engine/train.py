@@ -45,16 +45,23 @@ class TrainState:
 def create_train_state(model: WSRCNN, optimizer, rng, sample_shape=(1, 64, 64, 3)) -> TrainState:
     imgs = jnp.zeros(sample_shape, jnp.float32)
     sizes = jnp.asarray([[sample_shape[1], sample_shape[2]]] * sample_shape[0], jnp.float32)
-    # jit the init: eager init dispatches thousands of tiny ops one-by-one,
-    # which on a remote-attached TPU pays tunnel latency per op (measured
-    # tens of minutes for R-101); one compiled program is also cacheable
-    variables = jax.jit(model.init)(rng, imgs, sizes)
-    params = variables["params"]
-    return TrainState(
-        params=params,
-        opt_state=optimizer.init(params),
-        step=jnp.zeros((), jnp.int32),
-    )
+
+    # jit the WHOLE state init (model.init AND optimizer.init): eager init
+    # dispatches thousands of tiny ops one-by-one, which on a remote-attached
+    # TPU pays tunnel latency per op.  An eager optax init alone (zeros_like
+    # per leaf x per masked multi-transform label group) measured ~45 min for
+    # an R-101 finetune state through the axon tunnel; as one compiled —
+    # and persistently cacheable — program it is seconds.
+    def _init(rng_):
+        variables = model.init(rng_, imgs, sizes)
+        params = variables["params"]
+        return TrainState(
+            params=params,
+            opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    return jax.jit(_init)(rng)
 
 
 def make_train_step(

@@ -318,10 +318,12 @@ class DetectionService:
         recs.sort(key=lambda r: -r["score"])
         return recs
 
-    def warmup(self):
+    def warmup(self, orientations: str = "both"):
         """Compile every program a request could hit so no request pays a
-        compile stall: both canvas orientations, and — when micro-batching —
-        every power-of-two batch size up to batch_size."""
+        compile stall: both canvas orientations (or just one, when the
+        deployment's request stream is known to be single-orientation —
+        ``orientations`` in {"both", "landscape", "portrait"}), and — when
+        micro-batching — every power-of-two batch size up to batch_size."""
         sizes = [1]
         while self._batcher is not None and sizes[-1] < self.batch_size:
             sizes.append(min(sizes[-1] * 2, self.batch_size))
@@ -330,7 +332,13 @@ class DetectionService:
             wait, self._batcher._wait_s = self._batcher._wait_s, 1.0
         try:
             ch, cw = self.tcfg.canvas
-            for (hh, ww) in {(ch, cw), (cw, ch)}:
+            lo, hi = min(ch, cw), max(ch, cw)
+            canvases = {
+                "both": {(lo, hi), (hi, lo)},
+                "landscape": {(lo, hi)},
+                "portrait": {(hi, lo)},
+            }[orientations]
+            for (hh, ww) in canvases:
                 for k in sizes:
                     img = np.zeros((hh, ww, 3), np.float32)
                     if k == 1:

@@ -57,11 +57,17 @@ class ConsoleWriter:
     def __init__(self, max_iter: Optional[int] = None):
         self.max_iter = max_iter
         self._t0 = time.perf_counter()
-        self._last_step = 0
+        self._first_step: Optional[int] = None
 
     def write(self, step: int, storage: EventStorage):
+        # rate from the first step THIS writer saw: a resumed run starts at
+        # step N, and elapsed/step would undercount per-iter time by N/steps
+        if self._first_step is None:
+            self._first_step = step
+            self._t0 = time.perf_counter()
         elapsed = time.perf_counter() - self._t0
-        per_it = elapsed / max(step, 1)
+        done = max(step - self._first_step, 1)
+        per_it = elapsed / done
         eta = (self.max_iter - step) * per_it if self.max_iter else None
         parts = [f"iter {step}"]
         if eta is not None:
