@@ -62,6 +62,9 @@ def main():
                          "random init puts the RPN in its pathological "
                          "whole-image-boxes regime and times a program state "
                          "production never runs (BASELINE.md round 5)")
+    ap.add_argument("--uint8-wire", action="store_true",
+                    help="set TPU.HOST_TRANSFER_UINT8: uint8 request wire "
+                         "(4x fewer host->device bytes, <=0.5 LSB)")
     ap.add_argument("--orientations", default="both",
                     choices=("both", "landscape", "portrait"),
                     help="canvas orientations to warm up (single-orientation "
@@ -96,6 +99,8 @@ def main():
     cfg.MODEL.RESNETS.DEPTH = args.depth
     cfg.INPUT.MIN_SIZE_TEST = args.min_size
     cfg.INPUT.MAX_SIZE_TEST = args.max_size
+    if args.uint8_wire:
+        cfg.TPU.HOST_TRANSFER_UINT8 = True
     model = WSRCNN(mc=ModelConfig.from_cfg(cfg))
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),

@@ -58,16 +58,20 @@ def main():
         print("iteration sequence contiguous (no gaps > 2 log periods)")
 
     # 2. loss continuity at the resume point (read from stage logs if present)
-    resume_at = None
+    resume_points = []
     runs_dir = os.path.dirname(os.path.abspath(args.outdir))
-    s2 = os.path.join(runs_dir, "stage2.log")
-    if os.path.exists(s2):
-        with open(s2) as f:
-            for line in f:
-                if "resuming from step" in line:
-                    resume_at = int(line.rsplit("step", 1)[1].split()[0])
-                    break
-    if resume_at:
+    for cand in (os.path.join(runs_dir, "stage2.log"),
+                 os.path.join(args.outdir, "log.txt")):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                for line in f:
+                    if "resuming from step" in line:
+                        resume_points.append(
+                            int(line.rsplit("step", 1)[1].split()[0])
+                        )
+            if resume_points:
+                break
+    for resume_at in resume_points:
         pre = [losses[i] for i in sorted(losses) if resume_at - 400 <= i < resume_at]
         post = [losses[i] for i in sorted(losses) if resume_at <= i < resume_at + 400]
         if pre and post:
@@ -80,8 +84,8 @@ def main():
                 ok = False
         else:
             print(f"WARN: no loss samples around resume point {resume_at}")
-    else:
-        print("WARN: resume step not found in stage2.log")
+    if not resume_points:
+        print("WARN: resume step not found in stage2.log / log.txt")
 
     # 3. LR schedule boundaries
     for b in args.steps:

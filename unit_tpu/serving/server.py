@@ -199,6 +199,12 @@ class DetectionService:
         if exported is None and (model is None or params is None):
             raise ValueError("need either exported= or model= and params=")
         self.tcfg = TransformConfig.test_from_cfg(cfg)
+        # uint8 request wire (TPU.HOST_TRANSFER_UINT8): quantize the prepared
+        # canvas before the host->device submit — 4x fewer bytes on the link
+        # that dominates remote-attached serving (BASELINE.md round 5), <=0.5
+        # LSB vs the float32 wire.  Default off: served results then match
+        # --eval-only bit-exactly.
+        self.uint8_wire = bool(getattr(cfg.TPU, "HOST_TRANSFER_UINT8", False))
         self.class_names = list(class_names) if class_names else None
         self.score_thresh = float(cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST)
         self._rng = np.random.RandomState(0)
@@ -226,6 +232,13 @@ class DetectionService:
                 from ..utils.bn_fold import fold_frozen_bn
 
                 params = fold_frozen_bn(params)
+            # Commit the params to the device ONCE: a host-resident (numpy)
+            # tree — e.g. fresh from a checkpoint load — would otherwise be
+            # re-transferred on EVERY predict call (measured ~6 s/request for
+            # R-101 over a 40 MB/s remote-attached link).
+            import jax
+
+            params = jax.device_put(params)
             fn = make_predict_fn(model)
             self._predict = lambda img, sz: fn(params, img, sz)
         self.batch_size = int(batch_size)
@@ -286,6 +299,8 @@ class DetectionService:
         return oriented_canvas(h, w, self.tcfg.canvas)
 
     def _detect_prepared(self, image, image_size, scale, h, w):
+        if self.uint8_wire and image.dtype != np.uint8:
+            image = np.clip(np.rint(image), 0, 255).astype(np.uint8)
         size = np.asarray(image_size, np.float32)
         if self._batcher is not None:
             out = self._batcher.submit(image, size)
