@@ -69,9 +69,7 @@ def main():
                         resume_points.append(
                             int(line.rsplit("step", 1)[1].split()[0])
                         )
-            if resume_points:
-                break
-    for resume_at in resume_points:
+    for resume_at in sorted(set(resume_points)):
         pre = [losses[i] for i in sorted(losses) if resume_at - 400 <= i < resume_at]
         post = [losses[i] for i in sorted(losses) if resume_at <= i < resume_at + 400]
         if pre and post:
