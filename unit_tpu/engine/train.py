@@ -782,12 +782,19 @@ class TrainerBase:
         assert self.state is not None, "call init_state() first"
         start = int(self.state.step)
         self.stop_requested = False
-        for _ in range(start, max_iter):
-            if self.stop_requested:
-                break
-            metrics = self.run_step()
-            for hook in hooks:
-                hook(self._host_step, metrics, self)
+        try:
+            for _ in range(start, max_iter):
+                if self.stop_requested:
+                    break
+                metrics = self.run_step()
+                for hook in hooks:
+                    hook(self._host_step, metrics, self)
+        finally:
+            # resolve any still-in-flight metric fetches so the tail steps
+            # get their anomaly check and later readers see plain floats
+            inflight = getattr(self, "_inflight", None)
+            while inflight:
+                inflight.popleft().resolve()
         return self.state
 
     def request_stop(self):
